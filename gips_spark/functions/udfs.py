@@ -1,0 +1,130 @@
+"""Arrow-vectorized pandas UDF bindings for the numpy kernels.
+
+Design rule (SURVEY.md §3): the JVM↔Python Arrow channel is a per-batch
+cost, so the hot path uses ONE fused UDF (`enrich_struct`) computing
+extract_text + geocode + h3_7 + s2_13 per batch, instead of four UDFs
+= four Arrow round-trips.  Everything is Series→Series/Struct; no
+per-row Python anywhere (input_hint requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from gips_spark.functions import geom, h3lite, s2, textx
+
+H3_RES = 7
+S2_LEVEL = 13
+
+ENRICH_SCHEMA = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("geocode_src", T.StringType()),
+        T.StructField("h3_7", T.LongType()),
+        T.StructField("s2_13", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(ENRICH_SCHEMA)
+def enrich_struct(html: pd.Series, url: pd.Series, text: pd.Series) -> pd.DataFrame:
+    """Fused hot-path kernel: html→text, geocode, H3 res-7, S2 level-13."""
+    extracted = textx.extract_text(html)
+    geo = textx.geocode(url, text)
+    lat = geo["lat"].to_numpy()
+    lon = geo["lon"].to_numpy()
+    ok = ~np.isnan(lat)
+    h3 = np.zeros(len(lat), dtype=np.int64)
+    s2c = np.zeros(len(lat), dtype=np.int64)
+    if ok.any():
+        h3[ok] = h3lite.latlng_to_cell(lat[ok], lon[ok], H3_RES)
+        s2c[ok] = s2.latlng_to_cell(lat[ok], lon[ok], S2_LEVEL)
+    return pd.DataFrame(
+        {
+            "extracted_text": extracted.to_numpy(dtype=object),
+            "lat": lat,
+            "lon": lon,
+            "geocode_src": geo["geocode_src"].to_numpy(dtype=object),
+            "h3_7": pd.Series(h3).where(pd.Series(ok), other=pd.NA),
+            "s2_13": pd.Series(s2c).where(pd.Series(ok), other=pd.NA),
+        }
+    )
+
+
+@pandas_udf(T.LongType())
+def h3_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    ok = ~(np.isnan(la) | np.isnan(lo))
+    out = np.zeros(len(la), dtype=np.int64)
+    if ok.any():
+        out[ok] = h3lite.latlng_to_cell(la[ok], lo[ok], H3_RES)
+    return pd.Series(out).where(pd.Series(ok), other=pd.NA)
+
+
+@pandas_udf(T.LongType())
+def s2_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    ok = ~(np.isnan(la) | np.isnan(lo))
+    out = np.zeros(len(la), dtype=np.int64)
+    if ok.any():
+        out[ok] = s2.latlng_to_cell(la[ok], lo[ok], S2_LEVEL)
+    return pd.Series(out).where(pd.Series(ok), other=pd.NA)
+
+
+@pandas_udf(T.DoubleType())
+def haversine_m(
+    lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        geom.haversine_m(
+            lat1.to_numpy(dtype=np.float64),
+            lon1.to_numpy(dtype=np.float64),
+            lat2.to_numpy(dtype=np.float64),
+            lon2.to_numpy(dtype=np.float64),
+        )
+    )
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return textx.extract_text(html)
+
+
+@pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    return textx.lang_id(text)
+
+
+@pandas_udf(T.LongType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    return textx.token_count(text)
+
+
+@pandas_udf(T.LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return textx.rolling_fingerprint(text)
+
+
+def haversine_expr(lat1, lon1, lat2, lon2):
+    """Pure Column-expression haversine (meters) — JVM-side, codegen'd.
+
+    Identical formula to geom.haversine_m; prefer this inside joins so
+    the distance math stays in whole-stage codegen (no Arrow hop).
+    """
+    rl1 = F.radians(lat1)
+    rl2 = F.radians(lat2)
+    dphi = rl2 - rl1
+    dlmb = F.radians(lon2) - F.radians(lon1)
+    a = F.pow(F.sin(dphi / 2), 2) + F.cos(rl1) * F.cos(rl2) * F.pow(
+        F.sin(dlmb / 2), 2
+    )
+    a = F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))
+    return F.lit(2.0 * geom.EARTH_RADIUS_M) * F.asin(F.sqrt(a))
