@@ -1,0 +1,388 @@
+"""M3 — raster products + raster↔vector zonal aggregation (SURVEY.md A1–A4).
+
+Reference parity:
+* spectral indices  — `gippy.algorithms.indices` invoked per product in
+  `gips/data/<driver>/__init__.py :: Data.process` (public formulas:
+  NDVI/EVI/LSWI/NDSI/NDWI/MSAVI2/SATVI);
+* masks             — ACCA/Fmask slot (`gippy.algorithms.acca`); the
+  sandbox stand-in is a deterministic brightness threshold (real cloud
+  physics needs thermal bands — documented stub, same plumbing);
+* zonal statistics  — `gips/scripts/stats.py` + `GeoRaster.stats()`:
+  per (extent, scene, band): count/min/max/mean/stddev/skew;
+* mosaic            — `gips/tiles.py :: Tiles.mosaic` → cookie_cutter:
+  deterministic first-non-nodata paste in scene_id order;
+* temporal composite— MODIS `ndvi8`-style max-value composite.
+
+Execution shape: per-chunk numpy inside applyInPandas/mapInPandas; the
+zonal kernel emits PARTIAL moment tuples (n, s1, s2, s3, min, max) per
+chunk and the final combine is a plain groupBy().agg() — the A6
+partial+final pattern, so no hot (extent, scene, band) group ever
+materializes in one Python worker and pixel explode never happens.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gips_spark.functions.geom import rings_to_prepared
+from gips_spark.sources.fixtures import RASTER_SCHEMA
+
+_EPS = 1e-12
+
+
+def _index_formulas(b: dict) -> dict:
+    """Public spectral-index formulas over band→np.ndarray (float64)."""
+    blue, green, red = b["blue"], b["green"], b["red"]
+    nir, swir1, swir2 = b["nir"], b["swir1"], b["swir2"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = {
+            "ndvi": (nir - red) / (nir + red),
+            "evi": 2.5 * (nir - red) / (nir + 6.0 * red - 7.5 * blue + 1.0),
+            "lswi": (nir - swir1) / (nir + swir1),
+            "ndsi": (green - swir1) / (green + swir1),
+            "ndwi": (green - nir) / (green + nir),
+            "msavi2": (
+                2.0 * nir + 1.0 - np.sqrt((2.0 * nir + 1.0) ** 2 - 8.0 * (nir - red))
+            )
+            / 2.0,
+            "satvi": ((swir1 - red) / (swir1 + red + 0.5)) * 1.5 - swir2 / 2.0,
+            "vari": (green - red) / (green + red - blue),
+        }
+    return out
+
+
+PRODUCTS = ["ndvi", "evi", "lswi", "ndsi", "ndwi", "msavi2", "satvi", "vari"]
+
+
+def compute_products(raster_chunks: DataFrame, products: list[str] | None = None) -> DataFrame:
+    """(scene, band, chunk) rows → (scene, product, chunk) rows.
+
+    Grouped by (scene_id, chunk_id): each group holds the 6 band rows of
+    one chunk window; numpy computes all requested indices at once.
+    """
+    products = products or ["ndvi", "evi", "ndwi", "msavi2"]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        nodata = float(first["nodata"])
+        bands = {}
+        for _, r in pdf.iterrows():
+            px = np.asarray(r["pixels"], dtype=np.float64)
+            bands[r["band"]] = np.where(px == nodata, np.nan, px)
+        if len(bands) < 6:
+            return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
+        idx = _index_formulas(bands)
+        rows = []
+        for p in products:
+            v = idx[p]
+            v = np.where(np.isfinite(v), v, nodata).astype(np.float32)
+            rows.append(
+                {
+                    "scene_id": first["scene_id"],
+                    "band": p,
+                    "chunk_id": int(first["chunk_id"]),
+                    "x0": int(first["x0"]),
+                    "y0": int(first["y0"]),
+                    "w": int(first["w"]),
+                    "h": int(first["h"]),
+                    "pixels": v.tolist(),
+                    "nodata": nodata,
+                    "gt": list(first["gt"]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return raster_chunks.groupBy("scene_id", "chunk_id").applyInPandas(
+        kernel, schema=RASTER_SCHEMA
+    )
+
+
+def cloud_mask(raster_chunks: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """ACCA-slot stand-in: brightness mask (blue & green above threshold).
+
+    Deterministic stub — the real ACCA needs thermal bands absent from
+    the fixture; plumbing (schema/partitioning/application) is real.
+    Output band name: 'cloudmask', pixels ∈ {0, 1, nodata}.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        nodata = float(first["nodata"])
+        px = {r["band"]: np.asarray(r["pixels"], dtype=np.float64) for _, r in pdf.iterrows()}
+        if "blue" not in px or "green" not in px:
+            return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
+        valid = (px["blue"] != nodata) & (px["green"] != nodata)
+        m = ((px["blue"] > threshold) & (px["green"] > threshold)).astype(np.float32)
+        m[~valid] = nodata
+        return pd.DataFrame(
+            [
+                {
+                    "scene_id": first["scene_id"],
+                    "band": "cloudmask",
+                    "chunk_id": int(first["chunk_id"]),
+                    "x0": int(first["x0"]),
+                    "y0": int(first["y0"]),
+                    "w": int(first["w"]),
+                    "h": int(first["h"]),
+                    "pixels": m.tolist(),
+                    "nodata": nodata,
+                    "gt": list(first["gt"]),
+                }
+            ]
+        )
+
+    return raster_chunks.groupBy("scene_id", "chunk_id").applyInPandas(
+        kernel, schema=RASTER_SCHEMA
+    )
+
+
+def apply_mask(products: DataFrame, mask: DataFrame) -> DataFrame:
+    """Set product pixels to nodata wherever mask==1 (ProjectInventory's
+    mask-one-product-by-another, SURVEY.md §1.1)."""
+    m = mask.select(
+        F.col("scene_id").alias("m_scene"),
+        F.col("chunk_id").alias("m_chunk"),
+        F.col("pixels").alias("m_pixels"),
+    )
+    joined = products.join(
+        m,
+        (products.scene_id == m.m_scene) & (products.chunk_id == m.m_chunk),
+        "left",
+    )
+    masked = F.when(
+        F.col("m_pixels").isNotNull(),
+        F.zip_with(
+            "pixels",
+            "m_pixels",
+            lambda p, q: F.when(q == 1.0, F.col("nodata")).otherwise(p),
+        ),
+    ).otherwise(F.col("pixels"))
+    return joined.withColumn("pixels", masked).drop("m_scene", "m_chunk", "m_pixels")
+
+
+# ------------------------------------------------------------ zonal stats
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("extent_id", T.StringType()),
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s1", T.DoubleType()),
+        T.StructField("s2", T.DoubleType()),
+        T.StructField("s3", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def _chunk_bbox_cols(df: DataFrame) -> DataFrame:
+    gt = F.col("gt")
+    lon0 = F.element_at(gt, 1) + F.col("x0") * F.element_at(gt, 2)
+    lon1 = F.element_at(gt, 1) + (F.col("x0") + F.col("w")) * F.element_at(gt, 2)
+    lat0 = F.element_at(gt, 4) + (F.col("y0") + F.col("h")) * F.element_at(gt, 6)
+    lat1 = F.element_at(gt, 4) + F.col("y0") * F.element_at(gt, 6)
+    return (
+        df.withColumn("c_min_lon", F.least(lon0, lon1))
+        .withColumn("c_max_lon", F.greatest(lon0, lon1))
+        .withColumn("c_min_lat", F.least(lat0, lat1))
+        .withColumn("c_max_lat", F.greatest(lat0, lat1))
+    )
+
+
+def zonal_stats(spark, chunks: DataFrame, extents: DataFrame) -> DataFrame:
+    """→ (extent_id, scene_id, band, count, min, max, mean, stddev, skew).
+
+    stddev is the sample stddev (matches SQL stddev_samp); skew is the
+    population skewness m3/m2^1.5 (matches Spark's `skewness`).
+    """
+    bc = spark.sparkContext.broadcast(
+        {
+            r["extent_id"]: rings_to_prepared(r["rings"])
+            for r in extents.select("extent_id", "rings").collect()
+        }
+    )
+    ext = extents.select("extent_id", "minx", "miny", "maxx", "maxy")
+    cand = _chunk_bbox_cols(chunks).join(
+        F.broadcast(ext),
+        (F.col("c_min_lon") <= F.col("maxx"))
+        & (F.col("c_max_lon") >= F.col("minx"))
+        & (F.col("c_min_lat") <= F.col("maxy"))
+        & (F.col("c_max_lat") >= F.col("miny")),
+        "inner",
+    )
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prep = bc.value
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                poly = prep.get(r["extent_id"])
+                if poly is None:
+                    continue
+                w, h = int(r["w"]), int(r["h"])
+                gt = list(r["gt"])
+                cols = np.arange(w) + int(r["x0"])
+                rows_ = np.arange(h) + int(r["y0"])
+                lons = gt[0] + (cols + 0.5) * gt[1]
+                lats = gt[3] + (rows_ + 0.5) * gt[5]
+                lon_g = np.repeat(lons[None, :], h, axis=0).ravel()
+                lat_g = np.repeat(lats[:, None], w, axis=1).ravel()
+                inside = poly.contains_chunked(lon_g, lat_g)
+                px = np.asarray(r["pixels"], dtype=np.float64)
+                nodata = float(r["nodata"])
+                v = px[inside & (px != nodata)]
+                if v.size == 0:
+                    continue
+                out.append(
+                    {
+                        "extent_id": r["extent_id"],
+                        "scene_id": r["scene_id"],
+                        "band": r["band"],
+                        "n": int(v.size),
+                        "s1": float(v.sum()),
+                        "s2": float((v**2).sum()),
+                        "s3": float((v**3).sum()),
+                        "mn": float(v.min()),
+                        "mx": float(v.max()),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _PARTIAL_SCHEMA.fields])
+
+    part = cand.select(
+        "extent_id", "scene_id", "band", "x0", "y0", "w", "h", "pixels", "nodata", "gt"
+    ).mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+
+    agg = part.groupBy("extent_id", "scene_id", "band").agg(
+        F.sum("n").alias("count"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+    )
+    n = F.col("count").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * F.col("s2") / n + 2 * mean * mean * mean
+    stddev = F.when(n > 1, F.sqrt(F.greatest(m2, F.lit(0.0)) * n / (n - 1))).otherwise(
+        F.lit(None)
+    )
+    skew = F.when(m2 > _EPS, m3 / F.pow(m2, 1.5)).otherwise(F.lit(None))
+    return agg.select(
+        "extent_id",
+        "scene_id",
+        "band",
+        "count",
+        "min",
+        "max",
+        mean.alias("mean"),
+        stddev.alias("stddev"),
+        skew.alias("skew"),
+    )
+
+
+# --------------------------------------------------- composites & mosaic
+
+
+def scene_band_means(chunks: DataFrame) -> DataFrame:
+    """Per (scene, band): mean over valid pixels — JVM-side (explode-free
+    via aggregate() over the array), used by composites."""
+    valid_sum = F.aggregate(
+        "pixels",
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")),
+        lambda acc, x: F.struct(
+            (acc["s"] + F.when(x != F.col("nodata"), x.cast("double")).otherwise(0.0)).alias("s"),
+            (acc["c"] + F.when(x != F.col("nodata"), 1).otherwise(0)).alias("c"),
+        ),
+    )
+    per_chunk = chunks.withColumn("vs", valid_sum).select(
+        "scene_id", "band", F.col("vs.s").alias("s"), F.col("vs.c").alias("c")
+    )
+    return per_chunk.groupBy("scene_id", "band").agg(
+        (F.sum("s") / F.sum("c")).alias("band_mean"), F.sum("c").alias("valid_px")
+    )
+
+
+def temporal_composite(
+    scenes: DataFrame, chunks: DataFrame, band: str = "ndvi", days: int = 32
+) -> DataFrame:
+    """MODIS ndvi8-analog max-value composite per (tile, N-day window).
+
+    → (tile_id, window_start, band, max_val) — SQL-expressible for the
+    duckdb oracle (A3)."""
+    means = scene_band_means(chunks).where(F.col("band") == band)
+    joined = means.join(
+        scenes.select("scene_id", "tile_id", "acq_date"), "scene_id"
+    )
+    ws = F.date_add(
+        F.lit("2025-01-01"),
+        (F.floor(F.datediff(F.col("acq_date"), F.lit("2025-01-01")) / days) * days).cast(
+            "int"
+        ),
+    )
+    return (
+        joined.withColumn("window_start", ws)
+        .groupBy("tile_id", "window_start")
+        .agg(F.max("band_mean").alias("max_val"))
+        .withColumn("band", F.lit(band))
+        .select("tile_id", "window_start", "band", "max_val")
+    )
+
+
+def pixelwise_composite(chunks: DataFrame, band: str = "ndvi") -> DataFrame:
+    """A3 pixel-wise variant: np.nanmax over stacked chunks per
+    (scene-tile chunk window) — grouped-map kernel, nodata-aware."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        nodata = float(first["nodata"])
+        stack = np.stack(
+            [np.asarray(p, dtype=np.float64) for p in pdf["pixels"]], axis=0
+        )
+        stack = np.where(stack == nodata, np.nan, stack)
+        with np.errstate(all="ignore"):
+            mx = np.nanmax(stack, axis=0)
+        mx = np.where(np.isfinite(mx), mx, nodata).astype(np.float32)
+        out = first.to_dict()
+        out["pixels"] = mx.tolist()
+        out["scene_id"] = "composite_" + str(first["chunk_id"])
+        return pd.DataFrame([out])[list(RASTER_SCHEMA.fieldNames())]
+
+    return (
+        chunks.where(F.col("band") == band)
+        .groupBy("chunk_id", "x0", "y0")
+        .applyInPandas(kernel, schema=RASTER_SCHEMA)
+    )
+
+
+def mosaic_first_nonnodata(chunks: DataFrame, band: str) -> DataFrame:
+    """A4 cookie_cutter analog: paste overlapping same-window chunks in
+    deterministic scene_id order, first non-nodata wins (byte-stable)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("scene_id", kind="mergesort")
+        first = pdf.iloc[0]
+        nodata = float(first["nodata"])
+        acc = np.full(len(first["pixels"]), nodata, dtype=np.float64)
+        for _, r in pdf.iterrows():
+            px = np.asarray(r["pixels"], dtype=np.float64)
+            fill = acc == nodata
+            acc[fill] = px[fill]
+        out = first.to_dict()
+        out["pixels"] = acc.astype(np.float32).tolist()
+        out["scene_id"] = "mosaic_" + str(first["chunk_id"])
+        return pd.DataFrame([out])[list(RASTER_SCHEMA.fieldNames())]
+
+    return (
+        chunks.where(F.col("band") == band)
+        .groupBy("chunk_id", "x0", "y0")
+        .applyInPandas(kernel, schema=RASTER_SCHEMA)
+    )
