@@ -364,8 +364,9 @@ def pixelwise_composite(chunks: DataFrame, band: str = "ndvi") -> DataFrame:
 
 
 def mosaic_first_nonnodata(chunks: DataFrame, band: str) -> DataFrame:
-    """A4 cookie_cutter analog: paste overlapping same-window chunks in
-    deterministic scene_id order, first non-nodata wins (byte-stable)."""
+    """A4 cookie_cutter analog: per acquisition date, paste overlapping
+    chunk windows in deterministic scene_id order, first non-nodata wins
+    (byte-stable — GIPS mosaics per date across tiles)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("scene_id", kind="mergesort")
@@ -378,11 +379,14 @@ def mosaic_first_nonnodata(chunks: DataFrame, band: str) -> DataFrame:
             acc[fill] = px[fill]
         out = first.to_dict()
         out["pixels"] = acc.astype(np.float32).tolist()
-        out["scene_id"] = "mosaic_" + str(first["chunk_id"])
+        out["scene_id"] = "mosaic_" + str(first["date_key"]) + "_" + str(
+            first["chunk_id"]
+        )
         return pd.DataFrame([out])[list(RASTER_SCHEMA.fieldNames())]
 
-    return (
-        chunks.where(F.col("band") == band)
-        .groupBy("chunk_id", "x0", "y0")
-        .applyInPandas(kernel, schema=RASTER_SCHEMA)
+    with_date = chunks.where(F.col("band") == band).withColumn(
+        "date_key", F.substring_index(F.col("scene_id"), "_", -1)
+    )
+    return with_date.groupBy("date_key", "chunk_id", "x0", "y0").applyInPandas(
+        kernel, schema=RASTER_SCHEMA
     )

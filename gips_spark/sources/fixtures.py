@@ -259,9 +259,13 @@ def gen_extents_pdf(rng_seed: int = 42) -> pd.DataFrame:
         add(f"E{k:04d}", f"convex_{k}",
             [_regular_ring(clon, clat, rng.uniform(0.5, 2.0), rng.integers(6, 24), rng, 0.1)])
         k += 1
-    # 8 concave stars/notches
-    for i in range(8):
-        clon, clat = rng.uniform(-120, 140), rng.uniform(-35, 55)
+    # 8 concave stars/notches — the first two pinned over the scene-raster
+    # lattices (landsat origin (-5,40), modis origin (-10,36)) so zonal
+    # stats always have pixels in zone
+    concave_centers = [(-2.0, 43.0), (-6.0, 41.0)] + [
+        (float(rng.uniform(-120, 140)), float(rng.uniform(-35, 55))) for _ in range(6)
+    ]
+    for clon, clat in concave_centers:
         add(f"E{k:04d}", f"concave_{k}",
             [_regular_ring(clon, clat, rng.uniform(1.0, 3.0), int(rng.integers(5, 12)) * 2, rng, 0.05, star=0.45)])
         k += 1
@@ -273,6 +277,9 @@ def gen_extents_pdf(rng_seed: int = 42) -> pd.DataFrame:
         inner = _regular_ring(clon, clat, r * 0.4, 8, rng)[::-1]
         add(f"E{k:04d}", f"holed_{k}", [outer, inner])
         k += 1
+    # NOTE: E0009/E0010 (below) are placed over the scene-raster lattices
+    # (landsat origin (-5,40), modis origin (-10,36)) so zonal stats always
+    # have pixels in zone.
     # 2 adjacent sharing an edge (axis-aligned boxes)
     for i, (x0, x1) in enumerate([(-0.5, 0.5), (0.5, 1.5)]):
         ring = [(x0, 51.0), (x1, 51.0), (x1, 52.0), (x0, 52.0)]
@@ -395,7 +402,9 @@ def gen_raster_chunks_pdf(scenes: pd.DataFrame, n_scenes: int = 60, rng_seed: in
     Stands in for gippy.GeoImage chunking (no GDAL in sandbox, §7.3).
     """
     rng = np.random.default_rng(rng_seed)
-    sub = scenes.sort_values("scene_id").head(n_scenes)
+    srt = scenes.sort_values("scene_id").reset_index(drop=True)
+    step = max(1, len(srt) // n_scenes)
+    sub = srt.iloc[::step].head(n_scenes)  # spread across all sensor grids
     rows = []
     for _, sc in sub.iterrows():
         gt = [sc["min_lon"], (sc["max_lon"] - sc["min_lon"]) / IMG_W, 0.0,

@@ -1,0 +1,93 @@
+"""Geometry kernel tests: ray-cast PIP vs brute-force oracle, haversine."""
+
+import numpy as np
+
+from gips_spark.functions.geom import (
+    PreparedPolygon,
+    haversine_m,
+    point_in_rings_bruteforce,
+)
+
+
+def test_haversine_known_values():
+    # Paris ↔ London ≈ 343.5 km (city centers, mean-radius sphere)
+    d = haversine_m(48.8566, 2.3522, 51.5074, -0.1278)
+    assert abs(d - 343_500) < 2_000
+    # antipodal ≈ π * R
+    d2 = haversine_m(0.0, 0.0, 0.0, 180.0)
+    assert abs(d2 - np.pi * 6371008.8) < 1.0
+    assert haversine_m(10.0, 20.0, 10.0, 20.0) == 0.0
+
+
+def _random_polygon(rng, n, concave=False, hole=False):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    r = rng.uniform(0.5, 2.0, n)
+    if concave:
+        r[::2] *= 0.35
+    cx, cy = rng.uniform(-50, 50), rng.uniform(-40, 40)
+    outer = [(cx + rr * np.cos(a), cy + rr * np.sin(a)) for rr, a in zip(r, ang)]
+    rings = [outer]
+    if hole:
+        inner = [
+            (cx + 0.2 * rr * np.cos(a), cy + 0.2 * rr * np.sin(a))
+            for rr, a in zip(r, ang)
+        ][::-1]
+        rings.append(inner)
+    return rings
+
+
+def test_pip_matches_bruteforce_oracle():
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        rings = _random_polygon(
+            rng, int(rng.integers(5, 40)), concave=trial % 2 == 0, hole=trial % 3 == 0
+        )
+        poly = PreparedPolygon(rings)
+        minx, miny, maxx, maxy = poly.bbox
+        lon = rng.uniform(minx - 0.5, maxx + 0.5, 3000)
+        lat = rng.uniform(miny - 0.5, maxy + 0.5, 3000)
+        got = poly.contains(lon, lat)
+        want = np.array(
+            [point_in_rings_bruteforce(rings, x, y) for x, y in zip(lon, lat)]
+        )
+        assert np.array_equal(got, want)
+
+
+def test_pip_adversarial_vertices_and_edges():
+    """Points at vertices / on edges / just inside / just outside a square."""
+    sq = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]]
+    poly = PreparedPolygon(sq)
+    eps = 1e-9
+    inside = poly.contains(
+        np.array([5.0, eps, 10 - eps, 5.0]), np.array([5.0, eps, 10 - eps, eps])
+    )
+    assert inside.all()
+    outside = poly.contains(
+        np.array([-eps, 10 + eps, 5.0, 5.0]), np.array([5.0, 5.0, -eps, 10 + eps])
+    )
+    assert not outside.any()
+    # determinism on exact boundary (either side, but stable)
+    b1 = poly.contains(np.array([0.0, 10.0]), np.array([5.0, 5.0]))
+    b2 = poly.contains(np.array([0.0, 10.0]), np.array([5.0, 5.0]))
+    assert np.array_equal(b1, b2)
+
+
+def test_pip_hole():
+    rings = [
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        [(4.0, 4.0), (4.0, 6.0), (6.0, 6.0), (6.0, 4.0)],  # hole (any order)
+    ]
+    poly = PreparedPolygon(rings)
+    assert poly.contains(np.array([2.0]), np.array([2.0]))[0]
+    assert not poly.contains(np.array([5.0]), np.array([5.0]))[0]  # in hole
+
+
+def test_chunked_equals_unchunked():
+    rng = np.random.default_rng(5)
+    rings = _random_polygon(rng, 30, concave=True)
+    poly = PreparedPolygon(rings)
+    lon = rng.uniform(-60, 60, 10_000)
+    lat = rng.uniform(-50, 50, 10_000)
+    assert np.array_equal(
+        poly.contains(lon, lat), poly.contains_chunked(lon, lat, chunk=1000)
+    )

@@ -1,0 +1,84 @@
+"""Lineage/resume protocol tests (SURVEY.md §5.2 layers 5–6)."""
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from gips_spark.operators import tile_assign
+from gips_spark.plans import lineage
+
+
+def _transform(df):
+    # run_stage re-derives `bucket` on the output from the key column
+    return tile_assign.enrich_pages(df, do_repartition=False).select(
+        "url", "geocode_src", "h3_7", "s2_13"
+    )
+
+
+def test_run_resume_idempotent(spark, pages, tmp_path):
+    out = str(tmp_path / "stage1")
+    m1 = lineage.run_stage(
+        spark, "enrich", "run1", pages, _transform, "url", out, n_buckets=8,
+        cell_col="h3_7",
+    )
+    assert m1["buckets_run"] == 8 and m1["rows"] == pages.count()
+
+    # re-run: zero new work
+    m2 = lineage.run_stage(
+        spark, "enrich", "run2", pages, _transform, "url", out, n_buckets=8,
+        cell_col="h3_7",
+    )
+    assert m2["resumed"] and m2["buckets_run"] == 0
+
+    full = spark.read.parquet(f"{out}/data")
+    lin = spark.read.parquet(f"{out}/_lineage")
+    assert lin.count() == 8
+    n_before = full.count()
+    sums_before = {
+        r["bucket"]: r["checksum"]
+        for r in lin.select("bucket", "checksum").collect()
+    }
+
+    # simulate failure: drop two buckets' data and their lineage rows
+    for b in (2, 5):
+        shutil.rmtree(f"{out}/data/bucket={b}")
+    keep = lin.where(~F.col("bucket").isin([2, 5])).cache()
+    keep.count()
+    shutil.rmtree(f"{out}/_lineage")
+    keep.write.parquet(f"{out}/_lineage")
+
+    m3 = lineage.run_stage(
+        spark, "enrich", "run3", pages, _transform, "url", out, n_buckets=8,
+        cell_col="h3_7",
+    )
+    assert m3["buckets_run"] == 2
+
+    # identical final state: same rows, same per-bucket checksums
+    assert spark.read.parquet(f"{out}/data").count() == n_before
+    sums_after = {
+        r["bucket"]: r["checksum"]
+        for r in spark.read.parquet(f"{out}/_lineage")
+        .select("bucket", "checksum")
+        .collect()
+    }
+    assert sums_after == sums_before
+
+
+def test_two_fresh_runs_identical_checksums(spark, pages, tmp_path):
+    """Determinism guard: unordered writes / float nondeterminism / salted
+    recombination would break this (SURVEY.md §5.2 layer 6)."""
+    outs = [str(tmp_path / "a"), str(tmp_path / "b")]
+    sums = []
+    for o in outs:
+        lineage.run_stage(
+            spark, "enrich", "r", pages, _transform, "url", o, n_buckets=4,
+            cell_col="h3_7",
+        )
+        lin = spark.read.parquet(f"{o}/_lineage")
+        sums.append(
+            sorted(
+                (r["bucket"], r["row_count"], r["checksum"], str(r["cell_lo"]), str(r["cell_hi"]))
+                for r in lin.collect()
+            )
+        )
+    assert sums[0] == sums[1]

@@ -1,0 +1,124 @@
+"""End-to-end pipeline tests: enrich → tile assign → PIP → kNN (Spark).
+
+Golden philosophy (SURVEY.md §5.4): oracles are independent straight-line
+implementations (numpy brute force, duckdb SQL), never the engine.
+"""
+
+import duckdb
+import numpy as np
+import pyspark.sql.functions as F
+
+from gips_spark.functions.geom import point_in_rings_bruteforce
+from gips_spark.operators import knn, pip_join, tile_assign
+
+
+def test_enrich_schema_and_rows(enriched, pages):
+    assert enriched.count() == pages.count()
+    for c in [
+        "url",
+        "warc_ts",
+        "lang",
+        "extracted_text",
+        "lat",
+        "lon",
+        "geocode_src",
+        "h3_7",
+        "s2_13",
+        "cell_prefix",
+        "salt",
+    ]:
+        assert c in enriched.columns
+    srcs = {r["geocode_src"] for r in enriched.select("geocode_src").distinct().collect()}
+    assert srcs == {"latlon_qs", "coord_text", "city_url", "city_text", "none"}
+
+
+def test_enrich_partition_invariant(spark, pages):
+    """Same assignments regardless of input partitioning (determinism)."""
+    a = tile_assign.enrich_pages(pages.repartition(3), do_repartition=False)
+    b = tile_assign.enrich_pages(pages.repartition(11), do_repartition=False)
+    cols = ["url", "warc_ts", "geocode_src", "h3_7", "s2_13"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_extracted_text_contains_source_text(enriched):
+    """html wraps text; frozen extractor must recover it verbatim inside."""
+    bad = enriched.where(
+        ~F.col("extracted_text").contains(F.col("text"))
+    ).count()
+    assert bad == 0
+
+
+def test_tile_assignments_only_geocoded(enriched):
+    ta = tile_assign.tile_assignments(enriched)
+    assert ta.where(F.col("h3_7").isNull() | F.col("s2_13").isNull()).count() == 0
+    n_geo = enriched.where(F.col("geocode_src") != "none").count()
+    assert ta.count() == n_geo
+
+
+def test_latest_per_url_vs_duckdb(enriched):
+    got = (
+        tile_assign.latest_per_url(enriched)
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.countDistinct("url").alias("u"))
+        .first()
+    )
+    assert got["n"] == got["u"]
+    pdf = enriched.select("url", "warc_ts").toPandas()
+    want = duckdb.sql(
+        "select count(*) from (select url, row_number() over "
+        "(partition by url order by warc_ts desc) rn from pdf) where rn=1"
+    ).fetchone()[0]
+    assert got["n"] == want
+
+
+def test_pip_plans_agree_and_match_bruteforce(spark, enriched, extents, directory):
+    p1 = pip_join.pip_join(spark, enriched, extents).cache()
+    p2 = pip_join.pip_join_cells(spark, enriched, extents, directory)
+    assert p1.exceptAll(p2).count() == 0
+    assert p2.exceptAll(p1).count() == 0
+
+    # independent scalar oracle over every (point, extent) pair
+    pts = (
+        enriched.where(F.col("geocode_src") != "none")
+        .select("url", "lat", "lon")
+        .toPandas()
+    )
+    ext = extents.select("extent_id", "rings").collect()
+    want = set()
+    for e in ext:
+        rings = [
+            [(p["lon"], p["lat"]) for p in ring] for ring in e["rings"]
+        ]
+        for u, la, lo in zip(pts["url"], pts["lat"], pts["lon"]):
+            if point_in_rings_bruteforce(rings, lo, la):
+                want.add((u, e["extent_id"]))
+    got = {(r["url"], r["extent_id"]) for r in p1.collect()}
+    assert got == want
+
+
+def test_knn_exact_vs_bruteforce(spark, enriched, directory):
+    from gips_spark.sources import fixtures
+
+    q = fixtures.gen_knn_queries(spark)
+    a = knn.knn_join(spark, enriched, q, directory).cache()
+    b = knn.knn_bruteforce(enriched, q).cache()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # every query returns exactly min(k, n_points) rows
+    per_q = {r["query_id"]: r["n"] for r in a.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    ks = {r["query_id"]: r["k"] for r in q.collect()}
+    n_pts = enriched.where(F.col("geocode_src") != "none").count()
+    for qid, k in ks.items():
+        assert per_q.get(qid, 0) == min(k, n_pts)
+
+
+def test_coverage_fractions(spark, enriched, extents, directory):
+    cov = pip_join.coverage_fractions(spark, enriched, extents, directory).cache()
+    sums = cov.groupBy("extent_id").agg(F.sum("pcov").alias("s")).collect()
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-9
+    bad = cov.where(
+        (F.col("ptile") < 0) | (F.col("ptile") > 1) | (F.col("pcov") < 0)
+    ).count()
+    assert bad == 0
