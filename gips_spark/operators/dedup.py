@@ -1,0 +1,323 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five variants, each DataFrame→DataFrame over a (id, text) input:
+
+* exact_dedup          — hash-groupBy on normalized text (one shuffle)
+* minhash_lsh_dedup    — shingle → minhash (k permutations) → band →
+                         bucket self-join → verified Jaccard ≥ τ
+* simhash_dedup        — 64-bit simhash over token hashes; near-dup if
+                         Hamming distance ≤ d (banded exact search)
+* ngram_jaccard_dedup  — exact n-gram Jaccard on LSH candidates
+* embedding_dedup      — cosine ≥ τ over an embedding column, LSH- or
+                         brute-bucketed
+
+Scale notes: every variant is shuffle-bounded by the banding/bucket
+join (candidates only), never an all-pairs cross join.  Minhash state
+is an array<long> column computed in one pandas UDF pass (Arrow).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# fixed odd multipliers (splitmix-derived constants, frozen)
+_MH_A = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Character n-gram FNV-1a-64 hashes (vectorized over windows)."""
+    b = text.encode("utf-8")
+    if len(b) < n:
+        b = b + b"\x00" * (n - len(b))
+    arr = np.frombuffer(b, dtype=np.uint8)
+    m = len(arr) - n + 1
+    h = np.full(m, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for k in range(n):
+        h ^= arr[k : k + m].astype(np.uint64)
+        h *= prime
+    return np.unique(h)
+
+
+def minhash_signature_udf(num_perm: int = 64, shingle: int = 5):
+    """pandas UDF: text → array<long> minhash signature (num_perm values).
+
+    Permutations: h_i(x) = (a_i * x + b_i) mod 2^64 with frozen odd
+    multipliers derived from splitmix64 of the permutation index.
+    """
+    # derive num_perm (a, b) pairs deterministically
+    idx = np.arange(1, num_perm + 1, dtype=np.uint64)
+    z = idx * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    a = (z | np.uint64(1)).astype(np.uint64)  # odd
+    z2 = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    b = z2.astype(np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for s in text.astype(object).fillna(""):
+            sh = _shingle_hashes(s, shingle)
+            if sh.size == 0:
+                out.append(np.zeros(num_perm, dtype=np.int64).tolist())
+                continue
+            vals = (a[None, :] * sh[:, None] + b[None, :]).min(axis=0)
+            out.append(vals.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, canonical_id): groups of byte-identical normalized text.
+
+    canonical = min id per group (deterministic); one hash shuffle.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    keyed = df.select(F.col(id_col).alias("id"), F.xxhash64(norm).alias("tkey"))
+    canon = keyed.groupBy("tkey").agg(F.min("id").alias("canonical_id"))
+    return keyed.join(canon, "tkey").select("id", "canonical_id")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle: int = 5,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard_est) candidate pairs with estimated
+    Jaccard ≥ threshold (id_a < id_b).
+
+    rows = bands per signature; two docs collide if any band matches.
+    Estimated Jaccard = fraction of matching minhash components.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle)
+    with_sig = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).withColumn(
+        "sig", sig(F.col("t"))
+    )
+    banded = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / num_perm
+    )
+    return cand.withColumn("jaccard_est", est).where(
+        F.col("jaccard_est") >= threshold
+    ).select("id_a", "id_b", "jaccard_est")
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace-token FNV hashes."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, s in enumerate(text.astype(object).fillna("")):
+        toks = s.lower().split()
+        if not toks:
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, t in enumerate(toks):
+            h = np.uint64(0xCBF29CE484222325)
+            for byte in t.encode("utf-8"):
+                h ^= np.uint64(byte)
+                h *= np.uint64(0x100000001B3)
+            hs[j] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for bit in range(64):
+            if v[bit] > 0:
+                sh |= np.uint64(1) << np.uint64(bit)
+        out[i] = sh.view(np.int64) if hasattr(sh, "view") else np.int64(sh)
+    return pd.Series(out)
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """→ (id_a, id_b, hamming): near-dup pairs by banded simhash search.
+
+    4 bands of 16 bits: any pair within Hamming ≤ 3 shares ≥1 exact band
+    (pigeonhole), so the band equi-join finds all of them; verify with
+    popcount.
+    """
+    s = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sh"))
+    banded = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), bi * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bkey"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
+    num_perm: int = 64, bands: int = 16,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard): EXACT n-gram Jaccard, computed only on
+    minhash-LSH candidates (scale path: candidates ≪ all pairs)."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_perm=num_perm, bands=bands,
+        threshold=max(0.0, threshold - 0.25), shingle=n,
+    )
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    joined = (
+        cand.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+    )
+
+    @pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(ta.astype(object), tb.astype(object))):
+            sa = _shingle_hashes(x or "", n)
+            sb = _shingle_hashes(y or "", n)
+            if sa.size == 0 and sb.size == 0:
+                out[i] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            out[i] = inter / (sa.size + sb.size - inter)
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("jaccard", jac(F.col("t_a"), F.col("t_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    n_planes: int = 12,
+) -> DataFrame:
+    """→ (id_a, id_b, cosine): near-dup by embedding cosine ≥ threshold.
+
+    Bucket by sign-random-projection LSH (n_planes hyperplanes, frozen
+    seed) with single-bit multi-probe: one side also probes every
+    Hamming-1 neighbor bucket, so a near-dup pair is found unless ≥2
+    plane signs flip — for cosine ≥ 0.95 neighbors that probability is
+    negligible and shrinks further with fewer planes.  Verification is
+    exact cosine inside candidate buckets (JVM array expressions)."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        signs = (m @ planes.T) >= 0
+        keys = np.zeros(len(v), dtype=np.int64)
+        for bit in range(n_planes):
+            keys |= signs[:, bit].astype(np.int64) << bit
+        return pd.Series(keys)
+
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bkt", bucket(F.col("v"))
+    )
+    # multi-probe side: own bucket + every single-bit flip
+    probes = F.array(
+        F.col("bkt"),
+        *[F.col("bkt").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    a = d.withColumn("probe", F.explode(probes)).alias("a")
+    b = d.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.bkt")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z
+    )
+    na = F.sqrt(F.aggregate("v_a", F.lit(0.0), lambda acc, z: acc + z * z))
+    nb = F.sqrt(F.aggregate("v_b", F.lit(0.0), lambda acc, z: acc + z * z))
+    return (
+        cand.withColumn("cosine", dot / (na * nb))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,142 @@
+"""GIPS inventory semantics as relational operators (SURVEY.md §2.2–2.7).
+
+The reference's "queries" are dict navigations over (driver, tile, date,
+sensor, asset, product); here they are DataFrame compositions over the
+`scenes` table — every one pushes filters to the scan and lets Catalyst
+choose join strategies.
+
+Refs: DataInventory.__init__ filters (F1–F4), cloud filter (F7),
+sensor preference (J6/W1), asset↔product join (J3), latency range join
+(J7), skip-existing anti join (J8), coverage calendar (A2), inventory
+summary count-distincts (A5), tile-set ops (U1–U3), ordered print (O1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+SENSOR_RANK = {"landsat": 1, "sentinel2": 2, "modis": 3}  # preference order
+ASSET_LATENCY_DAYS = {"landsat": 16, "sentinel2": 5, "modis": 3}
+
+
+def inventory(
+    scenes: DataFrame,
+    tiles: list[str] | None = None,
+    date_range: tuple[str, str] | None = None,
+    doy_window: tuple[int, int] | None = None,
+    sensors: list[str] | None = None,
+    max_cloud: float | None = None,
+) -> DataFrame:
+    """F1–F4 + F7 — the DataInventory filter stack (all sargable)."""
+    out = scenes
+    if tiles:
+        out = out.where(F.col("tile_id").isin(tiles))
+    if date_range:
+        out = out.where(F.col("acq_date").between(*date_range))
+    if doy_window:
+        out = out.where(F.dayofyear("acq_date").between(*doy_window))
+    if sensors:
+        out = out.where(F.col("sensor").isin(sensors))
+    if max_cloud is not None:
+        out = out.where(F.col("cloud_pct") < max_cloud)
+    return out
+
+
+def best_scene_per_tile_date(scenes: DataFrame) -> DataFrame:
+    """J6/W1 — sensor preference: one best observation per (tile, date)."""
+    rank = F.coalesce(
+        *[
+            F.when(F.col("sensor") == s, F.lit(r))
+            for s, r in SENSOR_RANK.items()
+        ],
+        F.lit(99),
+    )
+    w = W.partitionBy("tile_id", "acq_date").orderBy(
+        rank.asc(), F.col("cloud_pct").asc(), F.col("scene_id").asc()
+    )
+    return (
+        scenes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def coverage_calendar(scenes: DataFrame) -> DataFrame:
+    """A2/O1 — per date: tiles present, sensors, mean cloud (the
+    inventory calendar), date-ordered."""
+    return (
+        scenes.groupBy("acq_date")
+        .agg(
+            F.countDistinct("tile_id").alias("n_tiles"),
+            F.countDistinct("sensor").alias("n_sensors"),
+            F.round(F.avg("cloud_pct"), 6).alias("mean_cloud"),
+        )
+        .orderBy("acq_date")
+    )
+
+
+def inventory_summary(scenes: DataFrame) -> DataFrame:
+    """A5 — count-distinct summary (exact, never approx on correctness
+    paths)."""
+    return scenes.agg(
+        F.countDistinct("acq_date").alias("n_dates"),
+        F.countDistinct("tile_id").alias("n_tiles"),
+        F.countDistinct("sensor").alias("n_sensors"),
+        F.count(F.lit(1)).alias("n_scenes"),
+    )
+
+
+def missing_products(scenes: DataFrame, lineage_done: DataFrame) -> DataFrame:
+    """J8/U3 — scenes still needing processing: anti join vs lineage."""
+    return scenes.join(
+        lineage_done.select("scene_id").distinct(), "scene_id", "left_anti"
+    )
+
+
+def scenes_in_window(scenes: DataFrame, pages: DataFrame) -> DataFrame:
+    """J7 — range join: pages whose warc_ts falls inside a scene's
+    validity window [acq_date, acq_date + sensor latency)."""
+    s = scenes.withColumn(
+        "latency",
+        F.coalesce(
+            *[
+                F.when(F.col("sensor") == k, F.lit(v))
+                for k, v in ASSET_LATENCY_DAYS.items()
+            ],
+            F.lit(0),
+        ),
+    ).select(
+        "scene_id",
+        "tile_id",
+        F.col("acq_date").cast("timestamp").alias("t0"),
+        F.date_add(F.col("acq_date"), F.col("latency")).cast("timestamp").alias("t1"),
+    )
+    return pages.join(
+        F.broadcast(s),
+        (pages.warc_ts >= s.t0) & (pages.warc_ts < s.t1),
+        "inner",
+    ).select("url", "scene_id", "tile_id", "warc_ts")
+
+
+def tile_set_ops(requested: DataFrame, available: DataFrame) -> dict[str, DataFrame]:
+    """U1–U3 over single-column tile_id frames."""
+    return {
+        "intersect": requested.intersect(available),
+        "union": requested.union(available).distinct(),
+        "missing": requested.exceptAll(available.intersect(requested)),
+    }
+
+
+def tile_timeseries(scenes: DataFrame, value_col: str = "cloud_pct", window: int = 3) -> DataFrame:
+    """W3 — per-tile date-ordered moving mean + lag (ProjectInventory
+    time-series extraction analog)."""
+    w = W.partitionBy("tile_id").orderBy("acq_date")
+    return scenes.select(
+        "tile_id",
+        "acq_date",
+        F.col(value_col).alias("v"),
+        F.avg(value_col).over(w.rowsBetween(-(window - 1), 0)).alias("moving_mean"),
+        F.lag(value_col, 1).over(w).alias("prev_v"),
+    )

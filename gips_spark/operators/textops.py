@@ -1,0 +1,51 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+Training-data pipeline components: language id, quality scoring, token
+counting, fingerprinting — each one Arrow pass, JVM-side where a Column
+expression suffices (token counts / ratios can also be expressed without
+Python; both paths provided, the expression path is what oracle_sql
+mirrors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gips_spark.functions import udfs
+
+
+def analyze_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ per-document analysis columns (lang_pred, quality parts, tokens,
+    fingerprint). Hot counters are JVM expressions; lang/fingerprint are
+    Arrow kernels."""
+    t = F.col(text_col)
+    ws_tokens = F.when(
+        F.length(F.trim(t)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return docs.select(
+        F.col(id_col),
+        t.alias(text_col),
+        F.length(t).alias("n_chars"),
+        ws_tokens.alias("n_tokens_ws"),
+        udfs.token_count_udf(t).alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        (n_punct / F.greatest(F.length(t), F.lit(1))).alias("punct_ratio"),
+        udfs.lang_id_udf(t).alias("lang_pred"),
+        udfs.fingerprint_udf(t).alias("fingerprint"),
+    )
+
+
+def quality_filter(analyzed: DataFrame, min_tokens: int = 5, max_punct_ratio: float = 0.3) -> DataFrame:
+    return analyzed.where(
+        (F.col("n_tokens_ws") >= min_tokens) & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+
+
+def language_histogram(analyzed: DataFrame) -> DataFrame:
+    return (
+        analyzed.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens_ws").alias("n_tokens"))
+        .orderBy(F.desc("n_docs"), F.asc("lang_pred"))
+    )

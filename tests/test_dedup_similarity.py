@@ -1,0 +1,90 @@
+"""Dedup + similarity operators vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from gips_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "completely different text about markets and rivers in the city",
+        "a third document mentioning museums gardens and long libraries",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t))  # exact dup
+        rows.append((i * 10 + 2, t + " tail"))  # near dup
+    rows.append((900, "zzz qqq unique and unrelated short text"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    got = dedup.exact_dedup(d, "doc_id", "text").toPandas()
+    groups = got.groupby("canonical_id")["id"].apply(set).to_dict()
+    assert groups[0] == {0, 1} and groups[10] == {10, 11} and groups[20] == {20, 21}
+    assert groups[900] == {900}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    d = _docs(spark)
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # exact dups always collide; near dups (…+" tail") too at 5-shingles
+    for base in (0, 10, 20):
+        assert (base, base + 1) in got
+        assert (base, base + 2) in got or (base + 1, base + 2) in got
+    # unrelated docs never pair
+    assert not any((a // 10 != b // 10) for a, b in got)
+
+
+def test_simhash_pairs(spark):
+    d = _docs(spark)
+    pairs = dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for base in (0, 10, 20):
+        assert (base, base + 1) in got  # identical text → hamming 0
+    assert not any((a // 10 != b // 10) for a, b in got)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    d = _docs(spark)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.5).toPandas()
+    exact = pairs[(pairs["id_a"] % 10 == 0) & (pairs["id_b"] == pairs["id_a"] + 1)]
+    assert len(exact) == 3 and np.allclose(exact["jaccard"], 1.0)
+
+
+def test_embedding_dedup_and_topk(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16))
+    vecs[1] = vecs[0] + rng.standard_normal(16) * 0.01  # near-dup pair
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.astype(float).tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = dedup.embedding_dedup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, n_planes=8
+    ).toPandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+    # top-k vs numpy oracle
+    q = spark.createDataFrame(
+        pd.DataFrame({"qid": ["Q1"], "qv": [vecs[0].astype(float).tolist()]})
+    )
+    got = similarity.brute_force_topk(
+        df, q, "vec_id", "embedding", "qid", "qv", k=5
+    ).toPandas()
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    want = np.argsort(-sims, kind="stable")[:5]
+    assert got.sort_values("rank")["id"].tolist() == want.tolist()
+
+    ivf = similarity.ivf_topk(
+        spark, df, q, "vec_id", "embedding", "qid", "qv", k=5,
+        n_centroids=4, n_probe=4, sample_rows=40,
+    ).toPandas()
+    # probing all centroids → exact
+    assert ivf.sort_values("rank")["id"].tolist() == want.tolist()

@@ -1,0 +1,147 @@
+"""Relational inventory ops vs duckdb; multimodal plumbing; streaming."""
+
+import duckdb
+import numpy as np
+import pyspark.sql.functions as F
+
+from gips_spark.operators import multimodal, relational, textops
+
+
+def test_inventory_filters_vs_duckdb(spark, scenes):
+    got = relational.inventory(
+        scenes,
+        date_range=("2025-03-01", "2025-09-30"),
+        doy_window=(100, 250),
+        sensors=["landsat", "modis"],
+        max_cloud=50.0,
+    ).count()
+    pdf = scenes.toPandas()
+    want = duckdb.sql(
+        """
+        select count(*) from pdf
+        where acq_date between date '2025-03-01' and date '2025-09-30'
+          and dayofyear(acq_date) between 100 and 250
+          and sensor in ('landsat', 'modis') and cloud_pct < 50.0
+        """
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_best_scene_per_tile_date(spark, scenes):
+    best = relational.best_scene_per_tile_date(scenes)
+    dups = (
+        best.groupBy("tile_id", "acq_date").count().where(F.col("count") > 1).count()
+    )
+    assert dups == 0
+    assert best.count() == scenes.select("tile_id", "acq_date").distinct().count()
+
+
+def test_calendar_and_summary_vs_duckdb(spark, scenes):
+    pdf = scenes.toPandas()
+    cal = relational.coverage_calendar(scenes).toPandas()
+    want = duckdb.sql(
+        "select acq_date, count(distinct tile_id) n_tiles from pdf group by 1 order by 1"
+    ).df()
+    assert (cal["n_tiles"].to_numpy() == want["n_tiles"].to_numpy()).all()
+    summ = relational.inventory_summary(scenes).first()
+    w = duckdb.sql(
+        "select count(distinct acq_date), count(distinct tile_id), count(distinct sensor), count(*) from pdf"
+    ).fetchone()
+    assert (summ["n_dates"], summ["n_tiles"], summ["n_sensors"], summ["n_scenes"]) == w
+
+
+def test_missing_products_anti_join(spark, scenes):
+    done = scenes.select("scene_id").limit(100)
+    missing = relational.missing_products(scenes, done)
+    assert missing.count() == scenes.count() - 100
+    assert missing.join(done, "scene_id", "inner").count() == 0
+
+
+def test_range_join_scenes_in_window(spark, scenes, pages):
+    out = relational.scenes_in_window(scenes, pages)
+    joined = out.join(
+        scenes.select("scene_id", "acq_date", "sensor"), "scene_id"
+    ).withColumn(
+        "lat_days",
+        F.coalesce(
+            *[
+                F.when(F.col("sensor") == k, F.lit(v))
+                for k, v in relational.ASSET_LATENCY_DAYS.items()
+            ]
+        ),
+    )
+    bad = joined.where(
+        (F.col("warc_ts") < F.col("acq_date").cast("timestamp"))
+        | (
+            F.col("warc_ts")
+            >= F.date_add(F.col("acq_date"), F.col("lat_days")).cast("timestamp")
+        )
+    ).count()
+    assert bad == 0 and out.count() > 0
+
+
+def test_tile_timeseries_window(spark, scenes):
+    ts = relational.tile_timeseries(scenes).where(F.col("tile_id") == "h00v00")
+    pdf = ts.orderBy("acq_date").toPandas()
+    if len(pdf) >= 3:
+        v = pdf["v"].to_numpy()
+        assert np.isclose(pdf["moving_mean"].iloc[2], v[:3][-3:].mean())
+        assert pdf["prev_v"].iloc[1] == v[0]
+
+
+def test_textops_vs_duckdb(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    analyzed = textops.analyze_documents(docs).cache()
+    got = analyzed.agg(
+        F.sum("n_chars").alias("c"), F.sum("n_tokens_ws").alias("t")
+    ).first()
+    pdf = docs.toPandas()
+    want_c = duckdb.sql("select sum(length(text)) from pdf").fetchone()[0]
+    assert got["c"] == want_c
+    hist = textops.language_histogram(analyzed)
+    assert hist.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+
+def test_multimodal_plumbing(spark):
+    assets = multimodal.make_assets(spark, 24)
+    feats = multimodal.extract_features(assets, resize_to=4, sample_every=2).cache()
+    pdf = feats.toPandas()
+    # videos (n_frames=8, every 2) → 4 rows; images/audio → 1 row
+    per_kind = pdf.groupby("kind")["asset_id"].nunique()
+    rows_video = len(pdf[pdf["kind"] == "video"]) / per_kind["video"]
+    assert rows_video == 4
+    assert all(len(f) == 16 for f in pdf["features"])
+    # determinism
+    pdf2 = multimodal.extract_features(assets, resize_to=4, sample_every=2).toPandas()
+    a = pdf.sort_values(["asset_id", "frame"]).reset_index(drop=True)
+    b = pdf2.sort_values(["asset_id", "frame"]).reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(a["features"], b["features"]))
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_or_raise()
+
+
+def test_streaming_cell_counts(spark, pages, tmp_path):
+    from gips_spark.streaming import ingest
+
+    in_path = str(tmp_path / "in")
+    pages.limit(500).write.parquet(in_path)
+    out_path = str(tmp_path / "out")
+    ingest.run_available_now(spark, in_path, out_path, str(tmp_path / "ck"))
+    res = spark.read.parquet(out_path)
+    assert res.count() > 0
+    assert res.where(F.col("n_pages") <= 0).count() == 0
+    # batch equivalent: same total geocoded distinct urls
+    total = res.agg(F.sum("n_pages")).first()[0]
+    from gips_spark.operators import tile_assign
+
+    batch = tile_assign.enrich_pages(
+        spark.read.parquet(in_path), do_repartition=False
+    )
+    want = (
+        batch.where(F.col("geocode_src") != "none")
+        .dropDuplicates(["url"])
+        .count()
+    )
+    assert total == want
