@@ -1,0 +1,134 @@
+"""Engine benchmark — the four headline stages of BASELINE.md, one JSON line.
+
+Stages (north_star):
+  a. assign  — read pages parquet → fused extract+geocode+H3/S2 UDF →
+               salt → repartitionByRange(cell_prefix, salt) → materialize
+  b. pip     — point-in-polygon join (cell-cover plan) vs 24 extents
+  c. knn     — exact kNN for 100 queries via cell-directory pruning
+  d. zonal   — spectral products + partial+final zonal stats over extents
+
+Input: deterministic synthetic pages sized by the sf of
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1 → 1,000,000 rows;
+sf0.01 → 100,000), materialized once under .bench_cache/ and then READ
+from parquet so stage (a) measures the real scan→enrich→shuffle path.
+Parallelism: local[$SPARK_GRAFT_CPUS] (default 32) — run with CPUS=8
+and CPUS=32 for the two-cluster-size scaling evidence (BENCH/BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {stage: sec}, "sf": <sf>, "rows": N,
+   "assign_rows_per_sec": ..., "skew_ratio": ..., "parallelism": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gips_spark import get_spark  # noqa: E402
+from gips_spark.operators import cell_directory, knn, pip_join, tile_assign, zonal  # noqa: E402
+from gips_spark.plans import salt as saltplan  # noqa: E402
+from gips_spark.sources import fixtures  # noqa: E402
+
+ROWS_PER_SF = 10_000_000  # sf0.1 → 1M rows (schema identical to 10^12 design)
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", int(ROWS_PER_SF * sf)))
+
+    spark = get_spark("gips-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"pages_{n_rows}"
+    )
+    if not os.path.isdir(cache_dir):
+        fixtures.gen_pages(spark, n_rows).write.mode("overwrite").parquet(cache_dir)
+
+    timings: dict[str, float] = {}
+
+    # warmup: spawn/import the Python worker pool + JIT the plan shapes on
+    # a small slice, so timings measure steady-state throughput (this
+    # sandbox host has bursty CPU; cold workers dominate otherwise)
+    warm = spark.read.parquet(cache_dir).limit(20_000)
+    tile_assign.enrich_pages(warm, persist=False, do_repartition=False).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # a) extract + geocode + tile assignment (the primary metric)
+    t0 = time.monotonic()
+    pages = spark.read.parquet(cache_dir)
+    enr = tile_assign.enrich_pages(pages, salt_target_rows=max(1000, n_rows // 200))
+    enr = enr.persist()
+    n_enr = enr.count()
+    timings["assign"] = time.monotonic() - t0
+
+    extents = fixtures.gen_extents(spark)
+    t0 = time.monotonic()
+    directory = cell_directory.build_cell_directory(enr).persist()
+    directory.count()
+    timings["directory"] = time.monotonic() - t0
+
+    # b) point-in-polygon join (cell-cover scale plan)
+    t0 = time.monotonic()
+    pairs = pip_join.pip_join_cells(spark, enr, extents, directory)
+    _materialize(pairs)
+    timings["pip"] = time.monotonic() - t0
+
+    # c) exact kNN, 100 queries
+    queries = fixtures.gen_knn_queries(spark)
+    t0 = time.monotonic()
+    res = knn.knn_join(spark, enr, queries, directory)
+    _materialize(res)
+    timings["knn"] = time.monotonic() - t0
+
+    # d) zonal: products + stats over extents (raster fixture pre-cached —
+    # measure the operator, not the driver-side synthesis)
+    raster_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "raster_60"
+    )
+    if not os.path.isdir(raster_dir):
+        fixtures.gen_raster_chunks(spark, n_scenes=60).write.mode(
+            "overwrite"
+        ).parquet(raster_dir)
+    t0 = time.monotonic()
+    chunks = spark.read.parquet(raster_dir)
+    prod = zonal.compute_products(chunks)
+    zs = zonal.zonal_stats(spark, prod, extents)
+    _materialize(zs)
+    timings["zonal"] = time.monotonic() - t0
+
+    skew = saltplan.skew_ratio(
+        enr.where(F.col("h3_7").isNotNull()), "h3_7"
+    )
+
+    total = sum(timings.values())
+    out = {
+        "metric": "gips_spark 4-stage pipeline (assign/pip/knn/zonal) wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "rows": n_enr,
+        "assign_rows_per_sec": round(n_enr / timings["assign"], 1),
+        "skew_ratio": round(skew, 1),
+        "parallelism": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -117,25 +117,43 @@ _ENTITIES = {
 _NUM_ENTITY_RE = re.compile(r"&#(\d+);")
 
 
-def extract_text(html: pd.Series) -> pd.Series:
-    """FROZEN deterministic html→text (byte-identical per url invariant).
+def strip_markup(s: pd.Series) -> pd.Series:
+    """Stage 1 of the frozen extractor: comments → script/style → tags.
 
-    Accepts a Series of bytes or str; returns str.  Pipeline order is
-    part of the contract: comments → script/style → tags → entities →
-    whitespace-normalize → strip.
+    This stage also runs JVM-side as a codegen'd regexp_replace chain
+    (functions/udfs.py :: strip_html_expr) so the Arrow channel ships
+    stripped text, not raw html — the two implementations are tested
+    byte-equal (tests/test_pipeline.py).
     """
-    s = html
-    if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
-        s = s.map(lambda b: b.decode("utf-8", errors="replace"))
-    s = s.astype("string").fillna("")
     s = s.str.replace(_COMMENT_RE, " ", regex=True)
     s = s.str.replace(_SCRIPT_STYLE_RE, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
+    return s
+
+
+def finish_extract(stripped: pd.Series) -> pd.Series:
+    """Stage 2 of the frozen extractor: entities → whitespace → strip."""
+    s = stripped.astype("string").fillna("")
     for ent, ch in _ENTITIES.items():
         s = s.str.replace(ent, ch, regex=False)
     s = s.str.replace(_NUM_ENTITY_RE, lambda m: chr(int(m.group(1))), regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
     return s.astype(object).fillna("")
+
+
+def extract_text(html: pd.Series) -> pd.Series:
+    """FROZEN deterministic html→text (byte-identical per url invariant).
+
+    Accepts a Series of bytes or str; returns str.  Pipeline order is
+    part of the contract: comments → script/style → tags → entities →
+    whitespace-normalize → strip.  Composition of strip_markup (stage 1,
+    also available JVM-side) and finish_extract (stage 2).
+    """
+    s = html
+    if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+        s = s.map(lambda b: b.decode("utf-8", errors="replace"))
+    s = s.astype("string").fillna("")
+    return finish_extract(strip_markup(s))
 
 
 # --------------------------------------------------------------- geocoder

@@ -32,9 +32,54 @@ ENRICH_SCHEMA = T.StructType(
 )
 
 
+def strip_html_expr(html_col):
+    """JVM-side stage 1 of the frozen extractor (comments → script/style →
+    tags) as a codegen'd regexp_replace chain over the decoded html.
+
+    Channel economics (measured on this sandbox kernel): the JVM↔Python
+    Arrow socket costs ~15s/GB-ish of transfer; stripping markup JVM-side
+    cuts the shipped bytes ~3-4× before the fused Python kernel runs.
+    Byte-equal to textx.strip_markup (tested).
+    """
+    s = F.decode(html_col, "utf-8")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    return s
+
+
+@pandas_udf(ENRICH_SCHEMA)
+def enrich_from_stripped(
+    stripped: pd.Series, url: pd.Series, text: pd.Series
+) -> pd.DataFrame:
+    """Fused hot-path kernel over PRE-STRIPPED html (stage 2 of the
+    extractor + geocode + H3 res-7 + S2 level-13, one Arrow pass)."""
+    extracted = textx.finish_extract(stripped)
+    geo = textx.geocode(url, text)
+    lat = geo["lat"].to_numpy()
+    lon = geo["lon"].to_numpy()
+    ok = ~np.isnan(lat)
+    h3 = np.zeros(len(lat), dtype=np.int64)
+    s2c = np.zeros(len(lat), dtype=np.int64)
+    if ok.any():
+        h3[ok] = h3lite.latlng_to_cell(lat[ok], lon[ok], H3_RES)
+        s2c[ok] = s2.latlng_to_cell(lat[ok], lon[ok], S2_LEVEL)
+    return pd.DataFrame(
+        {
+            "extracted_text": extracted.to_numpy(dtype=object),
+            "lat": lat,
+            "lon": lon,
+            "geocode_src": geo["geocode_src"].to_numpy(dtype=object),
+            "h3_7": pd.Series(h3).where(pd.Series(ok), other=pd.NA),
+            "s2_13": pd.Series(s2c).where(pd.Series(ok), other=pd.NA),
+        }
+    )
+
+
 @pandas_udf(ENRICH_SCHEMA)
 def enrich_struct(html: pd.Series, url: pd.Series, text: pd.Series) -> pd.DataFrame:
-    """Fused hot-path kernel: html→text, geocode, H3 res-7, S2 level-13."""
+    """All-Python fused kernel (reference path; the pipeline uses
+    strip_html_expr + enrich_from_stripped — same bytes, tested equal)."""
     extracted = textx.extract_text(html)
     geo = textx.geocode(url, text)
     lat = geo["lat"].to_numpy()

@@ -31,10 +31,19 @@ def enrich_pages(
     pages: DataFrame,
     salt_target_rows: int = saltplan.DEFAULT_TARGET_ROWS,
     do_repartition: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → pages_enriched."""
-    e = pages.withColumn(
-        "e", udfs.enrich_struct(F.col("html"), F.col("url"), F.col("text"))
+    """pages(url, warc_ts, html, text, lang) → pages_enriched.
+
+    The fused Arrow UDF output is persisted (MEMORY_AND_DISK) before the
+    salt histogram and the range-partition sampling pass — otherwise the
+    Python stage runs 3× (histogram, range sampler, final).  On a real
+    cluster the lineage protocol replaces the persist with a bucketed
+    parquet checkpoint between stages (plans/lineage.py), same effect.
+    """
+    e = pages.withColumn("stripped", udfs.strip_html_expr(F.col("html"))).withColumn(
+        "e",
+        udfs.enrich_from_stripped(F.col("stripped"), F.col("url"), F.col("text")),
     ).select("url", "warc_ts", "lang", "e.*")
     e = e.withColumn(
         "cell_prefix",
@@ -42,6 +51,10 @@ def enrich_pages(
             F.col("h3_7").isNotNull(), F.shiftright(F.col("h3_7"), PREFIX_SHIFT)
         ).otherwise(F.lit(-1)).cast("int"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e = saltplan.with_salt(e, "h3_7", "url", target_rows=salt_target_rows)
     if do_repartition:
         e = e.repartitionByRange("cell_prefix", "salt")

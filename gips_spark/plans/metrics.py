@@ -17,8 +17,10 @@ from pyspark.sql import SparkSession
 def shuffle_bytes_total(spark: SparkSession) -> int:
     """Total shuffle write bytes across completed stages (best-effort)."""
     try:
-        store = spark.sparkContext._jsc.sc().statusStore()
-        it = store.stageList(None).iterator()
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()
+        it = store.stageList(empty).iterator()
         total = 0
         while it.hasNext():
             s = it.next()

@@ -39,9 +39,19 @@ def streaming_cell_counts(
     deduped = pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
         ["url"]
     )
-    enriched = deduped.withColumn(
-        "e", udfs.enrich_struct(F.col("html"), F.col("url"), F.col("text"))
-    ).select("url", "warc_ts", F.col("e.h3_7").alias("h3_7"), F.col("e.geocode_src").alias("geocode_src"))
+    enriched = (
+        deduped.withColumn("stripped", udfs.strip_html_expr(F.col("html")))
+        .withColumn(
+            "e",
+            udfs.enrich_from_stripped(F.col("stripped"), F.col("url"), F.col("text")),
+        )
+        .select(
+            "url",
+            "warc_ts",
+            F.col("e.h3_7").alias("h3_7"),
+            F.col("e.geocode_src").alias("geocode_src"),
+        )
+    )
     return (
         enriched.where(F.col("geocode_src") != "none")
         .groupBy(F.window("warc_ts", window).alias("w"), F.col("h3_7"))
