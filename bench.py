@@ -62,7 +62,7 @@ def main():
     # warmup: spawn/import the Python worker pool + JIT the plan shapes on
     # a small slice, so timings measure steady-state throughput (this
     # sandbox host has bursty CPU; cold workers dominate otherwise)
-    warm = spark.read.parquet(cache_dir).limit(20_000)
+    warm = spark.read.parquet(cache_dir).limit(60_000).repartition(cpus * 2)
     tile_assign.enrich_pages(warm, persist=False, do_repartition=False).write.format(
         "noop"
     ).mode("overwrite").save()

@@ -29,14 +29,16 @@ cpus = int(sys.argv[1]); trials = int(sys.argv[2])
 spark = get_spark('scal', master=f'local[{cpus}]', shuffle_partitions=cpus)
 cache = sys.argv[3]
 pages = spark.read.parquet(cache)
-# warmup
-tile_assign.enrich_pages(pages.limit(20000), persist=False, do_repartition=False) \
+# warmup: spawn ALL python workers (>= cpus partitions) + JIT plan shapes
+warm = pages.limit(60000).repartition(cpus * 2)
+tile_assign.enrich_pages(warm, persist=False, do_repartition=False) \
     .write.format('noop').mode('overwrite').save()
 out = {'assign': [], 'pip': [], 'knn': [], 'zonal': []}
 extents = fixtures.gen_extents(spark)
 queries = fixtures.gen_knn_queries(spark)
 raster = sys.argv[4]
 for t in range(trials):
+    spark.catalog.clearCache()  # no cross-trial cache reuse (plan matching)
     t0 = time.monotonic()
     enr = tile_assign.enrich_pages(pages, salt_target_rows=5000)
     n = enr.count()
