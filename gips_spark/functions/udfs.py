@@ -20,6 +20,15 @@ from gips_spark.functions import geom, h3lite, s2, textx
 H3_RES = 7
 S2_LEVEL = 13
 
+
+def _masked_int64(values: np.ndarray, ok: np.ndarray) -> pd.Series:
+    """int64 values with nulls where ~ok, WITHOUT float64 upcast (plain
+    .where(..., pd.NA) converts the batch to float64, which rounds int64
+    cell ids — a real corruption bug caught by cross-path tests)."""
+    out = pd.array(values, dtype="Int64")
+    out[~np.asarray(ok)] = pd.NA
+    return pd.Series(out)
+
 ENRICH_SCHEMA = T.StructType(
     [
         T.StructField("extracted_text", T.StringType()),
@@ -70,8 +79,10 @@ def enrich_from_stripped(
             "lat": lat,
             "lon": lon,
             "geocode_src": geo["geocode_src"].to_numpy(dtype=object),
-            "h3_7": pd.Series(h3).where(pd.Series(ok), other=pd.NA),
-            "s2_13": pd.Series(s2c).where(pd.Series(ok), other=pd.NA),
+            # nullable Int64 (NOT .where(..., NA): that upcasts the whole
+            # batch to float64 and corrupts int64 cell ids near 2^59)
+            "h3_7": _masked_int64(h3, ok),
+            "s2_13": _masked_int64(s2c, ok),
         }
     )
 
@@ -96,8 +107,10 @@ def enrich_struct(html: pd.Series, url: pd.Series, text: pd.Series) -> pd.DataFr
             "lat": lat,
             "lon": lon,
             "geocode_src": geo["geocode_src"].to_numpy(dtype=object),
-            "h3_7": pd.Series(h3).where(pd.Series(ok), other=pd.NA),
-            "s2_13": pd.Series(s2c).where(pd.Series(ok), other=pd.NA),
+            # nullable Int64 (NOT .where(..., NA): that upcasts the whole
+            # batch to float64 and corrupts int64 cell ids near 2^59)
+            "h3_7": _masked_int64(h3, ok),
+            "s2_13": _masked_int64(s2c, ok),
         }
     )
 
@@ -110,7 +123,7 @@ def h3_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
     out = np.zeros(len(la), dtype=np.int64)
     if ok.any():
         out[ok] = h3lite.latlng_to_cell(la[ok], lo[ok], H3_RES)
-    return pd.Series(out).where(pd.Series(ok), other=pd.NA)
+    return _masked_int64(out, ok)
 
 
 @pandas_udf(T.LongType())
@@ -121,7 +134,7 @@ def s2_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
     out = np.zeros(len(la), dtype=np.int64)
     if ok.any():
         out[ok] = s2.latlng_to_cell(la[ok], lo[ok], S2_LEVEL)
-    return pd.Series(out).where(pd.Series(ok), other=pd.NA)
+    return _masked_int64(out, ok)
 
 
 @pandas_udf(T.DoubleType())

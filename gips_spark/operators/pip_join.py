@@ -109,28 +109,34 @@ def pip_join_cells(
 def coverage_fractions(
     spark, enriched: DataFrame, extents: DataFrame, directory: DataFrame
 ) -> DataFrame:
-    """J1 analog — per (extent, cell): rows inside / rows in cell (the
-    reference's (%-of-site, %-of-tile) coverage pair, row-weighted).
+    """J1 analog — per (extent, cell): urls inside / urls in cell (the
+    reference's (%-of-site, %-of-tile) coverage pair, url-weighted).
 
-    Output: extent_id, h3_7, rows_in, pcov (share of the extent's rows
-    in this cell), ptile (share of the cell's rows inside the extent) —
+    Works on the latest crawl per url (J6 dedup) so re-crawled urls
+    count once — pairs joined back on raw rows would double-count.
+    Output: extent_id, h3_7, urls_in, pcov (share of the extent's urls
+    in this cell), ptile (share of the cell's urls inside the extent) —
     feeds the F6 coverage-threshold filter.
     """
-    pairs = pip_join_cells(spark, enriched, extents, directory)
-    pts = enriched.where(F.col("geocode_src") != "none").select("url", "h3_7")
+    from gips_spark.operators.tile_assign import latest_per_url
+
+    ded = latest_per_url(enriched)
+    pts = ded.where(F.col("geocode_src") != "none").select("url", "h3_7")
+    pairs = pip_join_cells(spark, ded, extents, directory)
     inside = pairs.join(pts, "url").groupBy("extent_id", "h3_7").agg(
-        F.count(F.lit(1)).alias("rows_in")
+        F.count(F.lit(1)).alias("urls_in")
     )
-    per_ext = inside.groupBy("extent_id").agg(F.sum("rows_in").alias("ext_rows"))
+    per_ext = inside.groupBy("extent_id").agg(F.sum("urls_in").alias("ext_urls"))
+    cell_totals = pts.groupBy("h3_7").agg(F.count(F.lit(1)).alias("cell_urls"))
     out = (
         inside.join(per_ext, "extent_id")
-        .join(directory.select("h3_7", "n_rows"), "h3_7")
+        .join(cell_totals, "h3_7")
         .select(
             "extent_id",
             "h3_7",
-            "rows_in",
-            (F.col("rows_in") / F.col("ext_rows")).alias("pcov"),
-            (F.col("rows_in") / F.col("n_rows")).alias("ptile"),
+            "urls_in",
+            (F.col("urls_in") / F.col("ext_urls")).alias("pcov"),
+            (F.col("urls_in") / F.col("cell_urls")).alias("ptile"),
         )
     )
     return out

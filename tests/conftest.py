@@ -28,7 +28,7 @@ def pages(spark):
 def enriched(spark, pages):
     from gips_spark.operators import tile_assign
 
-    return tile_assign.enrich_pages(pages, salt_target_rows=200).cache()
+    return tile_assign.enrich_pages(pages, salt_target_rows=20).cache()
 
 
 @pytest.fixture(scope="session")

