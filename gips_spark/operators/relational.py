@@ -129,6 +129,20 @@ def tile_set_ops(requested: DataFrame, available: DataFrame) -> dict[str, DataFr
     }
 
 
+def parse_scene_id(df: DataFrame, col: str = "scene_id") -> DataFrame:
+    """X1 — filename parsing IS the schema inference (`gips/data/core.py ::
+    Asset.__init__`): `{sensor}_{tile}_{%Y%j}` → typed columns via
+    regexp_extract + to_date(yyyyDDD)."""
+    pat = r"^([a-z0-9]+)_([A-Za-z0-9]+)_(\d{7})$"
+    return df.withColumns(
+        {
+            "p_sensor": F.regexp_extract(F.col(col), pat, 1),
+            "p_tile_id": F.regexp_extract(F.col(col), pat, 2),
+            "p_date": F.to_date(F.regexp_extract(F.col(col), pat, 3), "yyyyDDD"),
+        }
+    )
+
+
 def tile_timeseries(scenes: DataFrame, value_col: str = "cloud_pct", window: int = 3) -> DataFrame:
     """W3 — per-tile date-ordered moving mean + lag (ProjectInventory
     time-series extraction analog)."""
