@@ -90,13 +90,19 @@ _CITY_LON = {name: lon for name, lat, lon in GAZETTEER}
 
 # slug alternation, longest-first so 'ho-chi-minh-city' beats 'chi'
 _SLUGS_BY_LEN = sorted((c[0] for c in GAZETTEER), key=len, reverse=True)
-_URL_CITY_RE = re.compile(r"/(" + "|".join(_SLUGS_BY_LEN) + r")(?:/|$|\?)")
-_TEXT_CITY_RE = re.compile(
-    r"\b(" + "|".join(s.replace("-", " ") for s in _SLUGS_BY_LEN) + r")\b",
-    re.IGNORECASE,
+#: shared pattern SOURCES (Python re and Java regex agree on these) so the
+#: JVM geocoder (functions/udfs.py :: geocode_exprs) is provably the same
+#: rule table — equality is pinned by the frozen `geocoded` golden hash.
+URL_CITY_PATTERN = r"/(" + "|".join(_SLUGS_BY_LEN) + r")(?:/|$|\?)"
+TEXT_CITY_PATTERN = (
+    r"\b(" + "|".join(s.replace("-", " ") for s in _SLUGS_BY_LEN) + r")\b"
 )
-_QS_LATLON_RE = re.compile(r"[?&]lat=(-?\d+\.\d+)&lon=(-?\d+\.\d+)")
-_TEXT_COORD_RE = re.compile(r"(-?\d{1,2}\.\d{4}),\s(-?\d{1,3}\.\d{4})")
+QS_LATLON_PATTERN = r"[?&]lat=(-?\d+\.\d+)&lon=(-?\d+\.\d+)"
+TEXT_COORD_PATTERN = r"(-?\d{1,2}\.\d{4}),\s(-?\d{1,3}\.\d{4})"
+_URL_CITY_RE = re.compile(URL_CITY_PATTERN)
+_TEXT_CITY_RE = re.compile(TEXT_CITY_PATTERN, re.IGNORECASE)
+_QS_LATLON_RE = re.compile(QS_LATLON_PATTERN)
+_TEXT_COORD_RE = re.compile(TEXT_COORD_PATTERN)
 
 # ------------------------------------------------------------- extraction
 

@@ -57,6 +57,97 @@ def strip_html_expr(html_col):
     return s
 
 
+def geocode_exprs(url_col, text_col):
+    """JVM-side geocoder — the exact rule table of textx.geocode as
+    codegen'd Column expressions (regexp_extract + map-literal gazetteer
+    + priority CASE).  Equality with the Python kernel is pinned by the
+    frozen `geocoded` golden hash (tests/golden/hashes.json).
+
+    Returns (lat, lon, geocode_src) Columns.
+    """
+    city_lat = F.create_map(
+        *[F.lit(x) for c in textx.GAZETTEER for x in (c[0], float(c[1]))]
+    )
+    city_lon = F.create_map(
+        *[F.lit(x) for c in textx.GAZETTEER for x in (c[0], float(c[2]))]
+    )
+    qs_lat = F.regexp_extract(url_col, textx.QS_LATLON_PATTERN, 1)
+    qs_lon = F.regexp_extract(url_col, textx.QS_LATLON_PATTERN, 2)
+    qs_ok = (
+        (qs_lat != "")
+        & (F.abs(qs_lat.cast("double")) <= 90.0)
+        & (F.abs(qs_lon.cast("double")) <= 180.0)
+    )
+    ct_lat = F.regexp_extract(text_col, textx.TEXT_COORD_PATTERN, 1)
+    ct_lon = F.regexp_extract(text_col, textx.TEXT_COORD_PATTERN, 2)
+    ct_ok = (
+        (ct_lat != "")
+        & (F.abs(ct_lat.cast("double")) <= 90.0)
+        & (F.abs(ct_lon.cast("double")) <= 180.0)
+    )
+    cu = F.regexp_extract(url_col, textx.URL_CITY_PATTERN, 1)
+    tc = F.regexp_replace(
+        F.lower(
+            F.regexp_extract(text_col, "(?i)" + textx.TEXT_CITY_PATTERN, 1)
+        ),
+        " ",
+        "-",
+    )
+    lat = (
+        F.when(qs_ok, qs_lat.cast("double"))
+        .when(ct_ok, ct_lat.cast("double"))
+        .when(cu != "", city_lat[cu])
+        .when(tc != "", city_lat[tc])
+    )
+    lon = (
+        F.when(qs_ok, qs_lon.cast("double"))
+        .when(ct_ok, ct_lon.cast("double"))
+        .when(cu != "", city_lon[cu])
+        .when(tc != "", city_lon[tc])
+    )
+    src = (
+        F.when(qs_ok, F.lit("latlon_qs"))
+        .when(ct_ok, F.lit("coord_text"))
+        .when(cu != "", F.lit("city_url"))
+        .when(tc != "", F.lit("city_text"))
+        .otherwise(F.lit("none"))
+    )
+    return lat, lon, src
+
+
+CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("h3_7", T.LongType()),
+        T.StructField("s2_13", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(CELLS_SCHEMA)
+def extract_and_cells(
+    stripped: pd.Series, lat: pd.Series, lon: pd.Series
+) -> pd.DataFrame:
+    """Minimal-channel fused kernel: finish extraction (entities + ws) and
+    index (lat, lon) → H3/S2 — geocoding already happened JVM-side."""
+    extracted = textx.finish_extract(stripped)
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    ok = ~(np.isnan(la) | np.isnan(lo))
+    h3 = np.zeros(len(la), dtype=np.int64)
+    s2c = np.zeros(len(la), dtype=np.int64)
+    if ok.any():
+        h3[ok] = h3lite.latlng_to_cell(la[ok], lo[ok], H3_RES)
+        s2c[ok] = s2.latlng_to_cell(la[ok], lo[ok], S2_LEVEL)
+    return pd.DataFrame(
+        {
+            "extracted_text": extracted.to_numpy(dtype=object),
+            "h3_7": _masked_int64(h3, ok),
+            "s2_13": _masked_int64(s2c, ok),
+        }
+    )
+
+
 @pandas_udf(ENRICH_SCHEMA)
 def enrich_from_stripped(
     stripped: pd.Series, url: pd.Series, text: pd.Series

@@ -41,10 +41,17 @@ def enrich_pages(
     cluster the lineage protocol replaces the persist with a bucketed
     parquet checkpoint between stages (plans/lineage.py), same effect.
     """
-    e = pages.withColumn("stripped", udfs.strip_html_expr(F.col("html"))).withColumn(
-        "e",
-        udfs.enrich_from_stripped(F.col("stripped"), F.col("url"), F.col("text")),
-    ).select("url", "warc_ts", "lang", "e.*")
+    glat, glon, gsrc = udfs.geocode_exprs(F.col("url"), F.col("text"))
+    e = (
+        pages.withColumn("stripped", udfs.strip_html_expr(F.col("html")))
+        .withColumn("lat", glat)
+        .withColumn("lon", glon)
+        .withColumn("geocode_src", gsrc)
+        .withColumn(
+            "e", udfs.extract_and_cells(F.col("stripped"), F.col("lat"), F.col("lon"))
+        )
+        .select("url", "warc_ts", "lang", "lat", "lon", "geocode_src", "e.*")
+    )
     e = e.withColumn(
         "cell_prefix",
         F.when(

@@ -39,18 +39,18 @@ def streaming_cell_counts(
     deduped = pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
         ["url"]
     )
+    glat, glon, gsrc = udfs.geocode_exprs(F.col("url"), F.col("text"))
     enriched = (
-        deduped.withColumn("stripped", udfs.strip_html_expr(F.col("html")))
+        deduped.withColumn("lat", glat)
+        .withColumn("lon", glon)
+        .withColumn("geocode_src", gsrc)
         .withColumn(
             "e",
-            udfs.enrich_from_stripped(F.col("stripped"), F.col("url"), F.col("text")),
+            udfs.extract_and_cells(
+                udfs.strip_html_expr(F.col("html")), F.col("lat"), F.col("lon")
+            ),
         )
-        .select(
-            "url",
-            "warc_ts",
-            F.col("e.h3_7").alias("h3_7"),
-            F.col("e.geocode_src").alias("geocode_src"),
-        )
+        .select("url", "warc_ts", F.col("e.h3_7").alias("h3_7"), "geocode_src")
     )
     return (
         enriched.where(F.col("geocode_src") != "none")

@@ -81,7 +81,17 @@ def main():
     raster = os.path.join(REPO, ".bench_cache", "raster_60")
     assert os.path.isdir(cache) and os.path.isdir(raster), "run bench.py once first"
 
-    res = {c: run_level(c, trials, cache, raster) for c in (8, 32)}
+    # interleave the two levels, one trial per JVM, to control for the
+    # host's bursty CPU (throughput drifts >10x between minutes)
+    res = {8: None, 32: None}
+    for _ in range(trials):
+        for c in (8, 32):
+            r = run_level(c, 1, cache, raster)
+            if res[c] is None:
+                res[c] = r
+            else:
+                for k in r["timings"]:
+                    res[c]["timings"][k].extend(r["timings"][k])
     rows = res[8]["rows"]
 
     lines = [
@@ -89,8 +99,9 @@ def main():
         "",
         "Input: 1,000,000 deterministic synthetic pages (seed-stable, 40% hotspot",
         "skew, FIXTURES.md §1), parquet, 128 files.  Sandbox proxy for two cluster",
-        f"sizes: `local[8]` vs `local[32]`, {trials} timed trials per level after a",
-        "warmup pass (this host shows bursty CPU; medians reported).",
+        f"sizes: `local[8]` vs `local[32]`, {trials} timed trials per level",
+        "(interleaved single-trial JVMs, warmup pass each; the host CPU is",
+        "bursty so levels are alternated and medians reported).",
         "",
         "| stage | median s @8 | median s @32 | rows/s @8 | rows/s @32 | speedup | efficiency (×4) |",
         "|---|---|---|---|---|---|---|",
