@@ -31,15 +31,25 @@ def enrich_pages(
     pages: DataFrame,
     salt_target_rows: int = saltplan.DEFAULT_TARGET_ROWS,
     do_repartition: bool = True,
-    persist: bool = True,
+    persist: bool | None = None,
+    salt_sample: float | None = None,
+    range_partition: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → pages_enriched.
 
-    The fused Arrow UDF output is persisted (MEMORY_AND_DISK) before the
-    salt histogram and the range-partition sampling pass — otherwise the
-    Python stage runs 3× (histogram, range sampler, final).  On a real
-    cluster the lineage protocol replaces the persist with a bucketed
-    parquet checkpoint between stages (plans/lineage.py), same effect.
+    Two execution modes:
+
+    * exact (``salt_sample=None``, default): full salt histogram; the
+      UDF output is persisted (MEMORY_AND_DISK) so the Python stage
+      doesn't run 3× (histogram, partition sampler, final).
+    * single-pass (``salt_sample=0.02``): the salt plan comes from a
+      2% sample (plans/salt.py :: salt_plan_sampled) and partitioning is
+      hash on (cell_prefix, salt) — no block-manager persist, no range
+      sampler, exactly ONE full UDF pass.  This is the 10^12-row shape:
+      between stages the lineage protocol checkpoints to parquet anyway,
+      and file-level range layout happens at the bucketed write.
+      ``range_partition=True`` restores repartitionByRange for sinks
+      that want global cell order (costs a sampling pass).
     """
     glat, glon, gsrc = udfs.geocode_exprs(F.col("url"), F.col("text"))
     e = (
@@ -58,13 +68,24 @@ def enrich_pages(
             F.col("h3_7").isNotNull(), F.shiftright(F.col("h3_7"), PREFIX_SHIFT)
         ).otherwise(F.lit(-1)).cast("int"),
     )
+    if persist is None:
+        persist = salt_sample is None
     if persist:
         from pyspark import StorageLevel
 
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    e = saltplan.with_salt(e, "h3_7", "url", target_rows=salt_target_rows)
+    if salt_sample is not None:
+        plan = saltplan.salt_plan_sampled(
+            e, "h3_7", target_rows=salt_target_rows, fraction=salt_sample
+        )
+    else:
+        plan = None
+    e = saltplan.with_salt(e, "h3_7", "url", plan=plan, target_rows=salt_target_rows)
     if do_repartition:
-        e = e.repartitionByRange("cell_prefix", "salt")
+        if range_partition:
+            e = e.repartitionByRange("cell_prefix", "salt")
+        else:
+            e = e.repartition("cell_prefix", "salt")
     return e
 
 
