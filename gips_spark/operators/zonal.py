@@ -197,11 +197,17 @@ def _chunk_bbox_cols(df: DataFrame) -> DataFrame:
     )
 
 
-def zonal_stats(spark, chunks: DataFrame, extents: DataFrame) -> DataFrame:
+def zonal_stats(
+    spark, chunks: DataFrame, extents: DataFrame, rollup: bool = False
+) -> DataFrame:
     """→ (extent_id, scene_id, band, count, min, max, mean, stddev, skew).
 
     stddev is the sample stddev (matches SQL stddev_samp); skew is the
     population skewness m3/m2^1.5 (matches Spark's `skewness`).
+
+    ``rollup=True`` adds grouping-set subtotal rows (A7 — extent and
+    extent×scene level); valid because the moment partials (n, Σx, Σx²,
+    Σx³, min, max) are additive, so subtotals finalize exactly.
     """
     bc = spark.sparkContext.broadcast(
         {
@@ -260,7 +266,9 @@ def zonal_stats(spark, chunks: DataFrame, extents: DataFrame) -> DataFrame:
         "extent_id", "scene_id", "band", "x0", "y0", "w", "h", "pixels", "nodata", "gt"
     ).mapInPandas(partials, schema=_PARTIAL_SCHEMA)
 
-    agg = part.groupBy("extent_id", "scene_id", "band").agg(
+    group_cols = ["extent_id", "scene_id", "band"]
+    grouping = part.rollup(*group_cols) if rollup else part.groupBy(*group_cols)
+    agg = grouping.agg(
         F.sum("n").alias("count"),
         F.min("mn").alias("min"),
         F.max("mx").alias("max"),

@@ -64,6 +64,27 @@ def test_run_resume_idempotent(spark, pages, tmp_path):
     assert sums_after == sums_before
 
 
+def test_cell_prefix_partition_pruning(spark, enriched, tmp_path):
+    """Partition pruning reaches the scan: a cell_prefix filter over the
+    prefix-partitioned layout shows up as PartitionFilters (SURVEY.md §4
+    'spatial pruning before IO')."""
+    import contextlib
+    import io
+
+    out = str(tmp_path / "pe")
+    geo = enriched.where(F.col("cell_prefix") >= 0)
+    geo.write.partitionBy("cell_prefix").parquet(out)
+    one = geo.select("cell_prefix").first()["cell_prefix"]
+    rd = spark.read.parquet(out).where(F.col("cell_prefix") == one)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rd.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell_prefix" in plan
+    # and the pruned read returns exactly that prefix's rows
+    assert rd.count() == geo.where(F.col("cell_prefix") == one).count()
+
+
 def test_two_fresh_runs_identical_checksums(spark, pages, tmp_path):
     """Determinism guard: unordered writes / float nondeterminism / salted
     recombination would break this (SURVEY.md §5.2 layer 6)."""

@@ -142,6 +142,17 @@ def test_knn_exact_vs_bruteforce(spark, enriched, directory):
         assert per_q.get(qid, 0) == min(k, n_pts)
 
 
+def test_knn_kring_variant_exact(spark, enriched, directory):
+    """The literal J5 plan (H3 k-ring expansion + closure) is also exact."""
+    from gips_spark.sources import fixtures
+
+    q = fixtures.gen_knn_queries(spark)
+    a = knn.knn_join_kring(spark, enriched, q, directory).cache()
+    b = knn.knn_bruteforce(enriched, q).cache()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_coverage_fractions(spark, enriched, extents, directory):
     cov = pip_join.coverage_fractions(spark, enriched, extents, directory).cache()
     sums = cov.groupBy("extent_id").agg(F.sum("pcov").alias("s")).collect()

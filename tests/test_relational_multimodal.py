@@ -122,6 +122,34 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_or_raise()
 
 
+def test_stateful_crawl_sessions(spark, pages, tmp_path):
+    """applyInPandasWithState: per-url session stats equal batch truth."""
+    from gips_spark.streaming import stateful
+
+    in_path = str(tmp_path / "sin")
+    pages.limit(400).write.parquet(in_path)
+    snap = stateful.run_available_now_memory(
+        spark, in_path, str(tmp_path / "sck"), name="crawl_state_t"
+    ).toPandas()
+    truth = (
+        spark.read.parquet(in_path)
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_crawls"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+        .toPandas()
+    )
+    g = snap.sort_values("url").reset_index(drop=True)
+    w = truth.sort_values("url").reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["url"] == w["url"]).all()
+    assert (g["n_crawls"].to_numpy() == w["n_crawls"].to_numpy()).all()
+    assert (g["first_ts"].to_numpy() == w["first_ts"].to_numpy()).all()
+    assert (g["last_ts"].to_numpy() == w["last_ts"].to_numpy()).all()
+
+
 def test_streaming_cell_counts(spark, pages, tmp_path):
     from gips_spark.streaming import ingest
 

@@ -68,6 +68,24 @@ def test_zonal_stats_match_numpy_oracle(spark, raster_chunks, extents):
             assert np.isclose(row["skew"], m3 / m2**1.5, rtol=1e-6)
 
 
+def test_zonal_rollup_subtotals(spark, raster_chunks, extents):
+    base = zonal.zonal_stats(spark, raster_chunks, extents).toPandas()
+    rolled = zonal.zonal_stats(spark, raster_chunks, extents, rollup=True).toPandas()
+    # detail rows identical
+    detail = rolled[rolled["band"].notna() & rolled["scene_id"].notna()]
+    assert len(detail) == len(base)
+    # per-extent subtotal equals recombination of that extent's details
+    top = rolled[rolled["scene_id"].isna() & rolled["extent_id"].notna()]
+    for _, r in top.iterrows():
+        sub = base[base["extent_id"] == r["extent_id"]]
+        assert r["count"] == sub["count"].sum()
+        assert np.isclose(
+            r["mean"],
+            (sub["mean"] * sub["count"]).sum() / sub["count"].sum(),
+            rtol=1e-9,
+        )
+
+
 def test_scene_band_means_vs_duckdb(spark, raster_chunks):
     got = zonal.scene_band_means(raster_chunks).toPandas()
     src = raster_chunks.select("scene_id", "band", "pixels", "nodata").toPandas()
