@@ -355,6 +355,34 @@ def _q_composite_events(spark, sf_dir):
     )
 
 
+def _q_pivot_status(spark, sf_dir):
+    """Pivot: quantity by returnflag × linestatus as columns."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+    )
+
+
+def _q_cube_agg(spark, sf_dir):
+    """Cube over (orderpriority, orderstatus)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "n", "total")
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     """Exact dedup on normalized document text (hash-groupBy)."""
     from gips_spark.operators import dedup
@@ -498,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _q_topk_per_group,
         "moving_window": _q_moving_window,
         "rollup_agg": _q_rollup,
+        "pivot_status": _q_pivot_status,
+        "cube_agg": _q_cube_agg,
         "monthly_distinct": _q_monthly_distinct,
         "set_intersect": _q_set_intersect,
         "composite_32d": _q_composite_events,
@@ -615,6 +645,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+            FROM lineitem GROUP BY 1
+        """,
+        "cube_agg": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "monthly_distinct": """
             SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
