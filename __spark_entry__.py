@@ -616,7 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_missing": """
             SELECT c_nationkey, count(*) AS n_customers
             FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
             GROUP BY 1
         """,
         "range_join_30d": """
@@ -689,7 +689,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_quality": r"""
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM (SELECT lang, n_chars,
                          CASE WHEN length(trim(text)) = 0 THEN 0
                               ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_tokens
