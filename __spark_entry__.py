@@ -494,6 +494,40 @@ def _q_cell_counts_s2(spark, sf_dir):
     )
 
 
+#: Anchor points whose published S2 token prefixes are embedded as the
+#: oracle (provenance: s2geometry docs / public demos — the classic
+#: Mountain View example, NYC, Paris, London).  A k-hex-digit prefix
+#: pins the face + first ~2k Hilbert levels against the REAL library.
+_S2_ANCHORS = [
+    ("mountain_view", 37.4220, -122.0840, 5),
+    ("nyc", 40.7128, -74.0060, 5),
+    ("paris", 48.8566, 2.3522, 5),
+    ("london", 51.5074, -0.1278, 4),
+]
+_S2_ANCHOR_PREFIX = {
+    "mountain_view": "808fb",
+    "nyc": "89c25",
+    "paris": "47e66",
+    "london": "4876",
+}
+
+
+def _q_s2_anchor_tokens(spark, sf_dir):
+    """Published-token known-answer check: compute level-13 S2 ids for
+    fixed anchor points and emit the leading token hex digits; the
+    oracle is a literal table of the published prefixes."""
+    from gips_spark.functions import udfs
+
+    rows = [(n, float(la), float(lo), k) for n, la, lo, k in _S2_ANCHORS]
+    df = spark.createDataFrame(rows, "name string, lat double, lon double, k int")
+    cell = udfs.s2_cell(F.col("lat"), F.col("lon"))
+    return df.withColumn(
+        "tok", F.lower(F.lpad(F.hex(cell), 16, "0"))
+    ).select(
+        "name", F.expr("substring(tok, 1, k)").alias("token_prefix")
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates (rows-only: hash-function-defined)."""
     from gips_spark.operators import dedup
@@ -538,9 +572,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": _q_embedding_pairs,
         "cell_counts_h3": _q_cell_counts_h3,
         "cell_counts_s2": _q_cell_counts_s2,
+        "s2_anchor_tokens": _q_s2_anchor_tokens,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
     }
+
+
+#: Frozen sf0.01 outputs of the hash-family-defined pair queries
+#: (regression pins; see oracle_sql comments).
+_MINHASH_PIN = [
+    (8, 245, 1.0), (26, 455, 0.9063), (31, 383, 0.9531), (44, 446, 0.9531),
+    (45, 267, 0.9688), (45, 413, 1.0), (58, 293, 0.9688), (61, 185, 1.0),
+    (70, 447, 0.9844), (72, 377, 0.9844), (87, 134, 0.9844), (92, 450, 0.9844),
+    (98, 290, 1.0), (107, 387, 1.0), (120, 332, 0.9688), (152, 178, 1.0),
+    (166, 323, 1.0), (267, 413, 0.9688), (285, 301, 0.9844), (295, 374, 0.9688),
+    (310, 389, 0.9844), (326, 457, 1.0), (393, 420, 0.9844), (435, 486, 0.9844),
+    (458, 462, 1.0),
+]
+_SIMHASH_PIN = [
+    (24, 357, 3), (31, 383, 1), (45, 267, 2), (45, 413, 2), (58, 293, 1),
+    (61, 185, 1), (70, 447, 1), (72, 377, 3), (92, 450, 3), (98, 290, 1),
+    (107, 387, 3), (120, 332, 2), (152, 178, 2), (267, 413, 0), (285, 301, 1),
+    (393, 420, 0), (458, 462, 2),
+]
+
+
+def _s2_counts_oracle() -> str:
+    from gips_spark.functions import s2_sql
+
+    pts_body = _points_cte().replace("WITH ", "", 1)
+    inner = s2_sql.cell_id_sql(pts_body, level=13, id_alias="s2_13")
+    return f"SELECT s2_13, count(*) AS n FROM ({inner}) GROUP BY 1"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -716,7 +778,39 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
         """,
-        # cell_counts_h3 / cell_counts_s2 / minhash_pairs / simhash_pairs:
-        # intentionally no oracle (engine-defined ids / hash families) —
-        # driver records rows-only checks.
+        # cell_counts_s2 oracle: the S2 transform re-implemented in pure
+        # DuckDB SQL (trig → face CASE → quadratic ST → 8-step Hilbert
+        # lookup loop as chained CTEs) — an independent arithmetic path;
+        # see gips_spark/functions/s2_sql.py.
+        "cell_counts_s2": _s2_counts_oracle(),
+        # published-token known-answer vectors (literal table)
+        "s2_anchor_tokens": (
+            "SELECT name, token_prefix FROM (VALUES "
+            + ", ".join(
+                f"('{n}', '{p}')" for n, p in sorted(_S2_ANCHOR_PREFIX.items())
+            )
+            + ") t(name, token_prefix)"
+        ),
+        # minhash/simhash: the VALUES are hash-family-defined, so no
+        # independent SQL recomputation exists; these literal tables are
+        # REGRESSION PINS frozen from the engine's deterministic output
+        # at sf0.01 (the gate's fixed input), cross-validated separately
+        # by the pytest brute-force/pigeonhole suites (test_dedup_*).
+        "minhash_pairs": (
+            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
+            " CAST(jaccard_est AS DOUBLE) AS jaccard_est FROM (VALUES "
+            + ",".join(
+                f"({a},{b},{j})"
+                for a, b, j in _MINHASH_PIN
+            )
+            + ") t(id_a, id_b, jaccard_est)"
+        ),
+        "simhash_pairs": (
+            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
+            " CAST(hamming AS INT) AS hamming FROM (VALUES "
+            + ",".join(f"({a},{b},{h})" for a, b, h in _SIMHASH_PIN)
+            + ") t(id_a, id_b, hamming)"
+        ),
+        # cell_counts_h3: intentionally no oracle (engine-canonical h3
+        # ids have no in-sandbox ground truth) — rows-only check.
     }
