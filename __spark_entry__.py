@@ -528,6 +528,46 @@ def _q_s2_anchor_tokens(spark, sf_dir):
     )
 
 
+#: deterministic synthetic QA word (identical expression both engines)
+_QA_EXPR = "CAST(floor(abs(value) * CAST(100000 AS DOUBLE)) AS BIGINT) % 65536"
+
+
+def _q_qa_unpack(spark, sf_dir):
+    """X5 — MODIS-style QA bitfield unpack + clear-sky mask over a
+    synthetic QA word derived from events.value (JVM shift/AND ops —
+    operators/qa.py)."""
+    from gips_spark.operators import qa
+
+    ev = _read(spark, sf_dir, "events")
+    df = ev.select(F.expr(_QA_EXPR).alias("qa"))
+    up = qa.qa_cloud_keep_mask(qa.qa_unpack(df, "qa"), "qa")
+    return up.groupBy("cloud_state", "land_water").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cloud_shadow").cast("bigint").alias("n_shadow"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+        F.round(F.avg("aerosol"), 6).alias("avg_aerosol"),
+    )
+
+
+def _q_footprint_cover(spark, sf_dir):
+    """J1 area-weighted — scene footprint × hex tile coverage (pcov,
+    ptile) per Repository.vector2tiles semantics.  Engine-defined H3
+    ids → rows-only check; the area kernel is pinned by the dense-grid
+    numpy oracle in tests/test_footprint.py."""
+    from gips_spark.operators import footprint
+    from gips_spark.sources import fixtures
+
+    scenes = fixtures.gen_scenes(spark).limit(40)
+    cov = footprint.footprint_cover(spark, scenes)
+    return cov.select(
+        "scene_id",
+        "h3_7",
+        F.round("a_m2", 2).alias("a_m2"),
+        F.round("pcov", 6).alias("pcov"),
+        F.round("ptile", 6).alias("ptile"),
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates (rows-only: hash-function-defined)."""
     from gips_spark.operators import dedup
@@ -573,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts_h3": _q_cell_counts_h3,
         "cell_counts_s2": _q_cell_counts_s2,
         "s2_anchor_tokens": _q_s2_anchor_tokens,
+        "qa_mask_unpack": _q_qa_unpack,
+        "footprint_cover": _q_footprint_cover,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
     }
@@ -791,6 +833,22 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") t(name, token_prefix)"
         ),
+        "qa_mask_unpack": f"""
+            WITH q AS (SELECT {_QA_EXPR} AS qa FROM events),
+            u AS (SELECT qa,
+                         CAST((qa >> 0) & 3 AS INT) AS cloud_state,
+                         CAST((qa >> 2) & 1 AS INT) AS cloud_shadow,
+                         CAST((qa >> 3) & 7 AS INT) AS land_water,
+                         CAST((qa >> 6) & 3 AS INT) AS aerosol
+                  FROM q)
+            SELECT cloud_state, land_water, count(*) AS n,
+                   CAST(sum(cloud_shadow) AS BIGINT) AS n_shadow,
+                   CAST(sum(CASE WHEN cloud_state IN (0, 3)
+                                  AND cloud_shadow = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   round(avg(aerosol), 6) AS avg_aerosol
+            FROM u GROUP BY 1, 2
+        """,
         # minhash/simhash: the VALUES are hash-family-defined, so no
         # independent SQL recomputation exists; these literal tables are
         # REGRESSION PINS frozen from the engine's deterministic output

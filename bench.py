@@ -63,17 +63,32 @@ def main():
     # a small slice, so timings measure steady-state throughput (this
     # sandbox host has bursty CPU; cold workers dominate otherwise)
     warm = spark.read.parquet(cache_dir).limit(60_000).repartition(cpus * 2)
-    tile_assign.enrich_pages(warm, persist=False, do_repartition=False).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    tile_assign.enrich_pages(
+        warm, persist=False, do_repartition=False, salt_sample=0.02
+    ).write.format("noop").mode("overwrite").save()
 
-    # a) extract + geocode + tile assignment (the primary metric)
+    # a) extract + geocode + tile assignment (the primary metric).
+    # SINGLE-PASS mode (VERDICT r1 #5): sampled salt plan, no
+    # block-manager persist, ONE full UDF pass, hash repartition on
+    # (cell_prefix, salt), checkpointed to parquet — the shape that
+    # survives 10^12 rows (exact mode persists the whole enriched table
+    # incl. extracted_text, impossible at 100 TB; it remains for golden
+    # tests).  extracted_text is dropped from the CHECKPOINT only — the
+    # extraction itself runs inside the fused UDF and is fully measured;
+    # the byte-identity contract is pinned by goldens, the stage output
+    # keeps derived columns (same contract as jobs/run_stage.py).
+    enr_out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "enr_out"
+    )
     t0 = time.monotonic()
     pages = spark.read.parquet(cache_dir)
-    enr = tile_assign.enrich_pages(pages, salt_target_rows=max(1000, n_rows // 200))
-    enr = enr.persist()
-    n_enr = enr.count()
+    tile_assign.enrich_pages(
+        pages, salt_target_rows=max(1000, n_rows // 200), salt_sample=0.02
+    ).drop("extracted_text").write.mode("overwrite").parquet(enr_out)
     timings["assign"] = time.monotonic() - t0
+
+    enr = spark.read.parquet(enr_out).persist()
+    n_enr = enr.count()
 
     extents = fixtures.gen_extents(spark)
     t0 = time.monotonic()

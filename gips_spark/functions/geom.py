@@ -140,3 +140,134 @@ def point_in_rings_bruteforce(rings, lon: float, lat: float) -> bool:
                 if lon < xint:
                     inside = not inside
     return inside
+
+
+# ---------------------------------------------------- rect distance bounds
+
+
+def _max_cos_to_meridian_segment(q_lat_r, dlon_r, lat1_r, lat2_r):
+    """max over φ∈[lat1,lat2] of cos(angle((q_lat, 0), (φ, dlon))).
+
+    cos d = A·sinφ + B·cosφ with A = sin(q_lat), B = cos(q_lat)·cos(dlon);
+    unconstrained max at φ* = atan2(A, B) (works at the poles); clamp to
+    the segment if φ* falls outside.  All inputs radians, vectorized.
+    """
+    A = np.sin(q_lat_r)
+    B = np.cos(q_lat_r) * np.cos(dlon_r)
+    phi_star = np.arctan2(A, B)
+    at_star = np.sqrt(A * A + B * B)
+    f1 = A * np.sin(lat1_r) + B * np.cos(lat1_r)
+    f2 = A * np.sin(lat2_r) + B * np.cos(lat2_r)
+    inside = (phi_star >= lat1_r) & (phi_star <= lat2_r)
+    return np.where(inside, at_star, np.maximum(f1, f2))
+
+
+def sphere_min_dist_to_rect_m(q_lat, q_lon, lat1, lat2, lon1, lon2):
+    """EXACT spherical min distance (m) from a point to a lat/lon rect.
+
+    Rigorous on the sphere (VERDICT r1 advice item): handles the
+    non-monotonicity of haversine in latitude near the poles and the
+    antimeridian longitude wrap, where bbox-clamping under-/over-shoots.
+    Closest point is either (a) the meridian-clamp point when q_lon lies
+    inside the lon span, or (b) on one of the two meridian edges — the
+    exact segment minimum via the A·sinφ+B·cosφ extremum; parallel-edge
+    interiors can never be closer when q_lon is outside the span
+    (distance along a parallel is monotone in |Δλ|).  Vectorized over
+    rects; scalar query.
+    """
+    q_lat = float(q_lat)
+    q_lon = float(q_lon)
+    lat1_r = np.radians(np.asarray(lat1, dtype=np.float64))
+    lat2_r = np.radians(np.asarray(lat2, dtype=np.float64))
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    qla_r = np.radians(q_lat)
+
+    inside_lon = (q_lon >= lon1) & (q_lon <= lon2)
+    inside = inside_lon & (q_lat >= np.asarray(lat1)) & (q_lat <= np.asarray(lat2))
+
+    # (a) meridian clamp (exact when q_lon within the lon span)
+    clamp_lat = np.clip(q_lat, np.asarray(lat1), np.asarray(lat2))
+    d_inside = haversine_m(q_lat, q_lon, clamp_lat, q_lon)
+
+    # (b) both meridian edges, wrap-aware |Δλ|
+    def _wrap(dl):
+        dl = np.abs(dl) % 360.0
+        return np.where(dl > 180.0, 360.0 - dl, dl)
+
+    best = -np.ones_like(lat1_r)  # max cosine; -1 = antipodal
+    for edge_lon in (lon1, lon2):
+        dl_r = np.radians(_wrap(q_lon - edge_lon))
+        best = np.maximum(
+            best, _max_cos_to_meridian_segment(qla_r, dl_r, lat1_r, lat2_r)
+        )
+    d_edge = EARTH_RADIUS_M * np.arccos(np.clip(best, -1.0, 1.0))
+
+    out = np.where(inside_lon, d_inside, d_edge)
+    return np.where(inside, 0.0, out)
+
+
+def sphere_max_dist_to_rect_m(q_lat, q_lon, lat1, lat2, lon1, lon2):
+    """EXACT spherical max distance (m) from a point to a lat/lon rect,
+    via the antipode identity: max d(P, x) = πR − min d(P̄, x)."""
+    anti_lat = -float(q_lat)
+    anti_lon = float(q_lon) - 180.0 if q_lon >= 0 else float(q_lon) + 180.0
+    dmin = sphere_min_dist_to_rect_m(anti_lat, anti_lon, lat1, lat2, lon1, lon2)
+    return np.pi * EARTH_RADIUS_M - dmin
+
+
+# ------------------------------------------------- polygon clip + area
+
+
+def sinusoidal_xy(lon, lat):
+    """Equal-area sinusoidal projection (meters): x = Rλcosφ, y = Rφ.
+
+    Authalic — areas measured by shoelace over projected vertices are
+    consistent across shapes, so a tessellation's piece areas sum to the
+    whole (up to edge-curvature error, negligible at ≤4° edges)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    return (
+        EARTH_RADIUS_M * np.radians(lon) * np.cos(np.radians(lat)),
+        EARTH_RADIUS_M * np.radians(lat),
+    )
+
+
+def ring_area_m2(lon, lat) -> float:
+    """Unsigned polygon area (m²) via shoelace in sinusoidal projection."""
+    x, y = sinusoidal_xy(lon, lat)
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip polygon `subject` (N×2 lon/lat, any
+    simple orientation) by CONVEX polygon `clip` (M×2).  Returns the
+    clipped polygon vertices (K×2; K may be 0).  Planar in degrees —
+    v1 domain: no antimeridian/pole crossing (FIXTURES.md exclusion)."""
+    clip = np.asarray(clip, dtype=np.float64)
+    # ensure CCW clip orientation
+    if (
+        np.dot(clip[:, 0], np.roll(clip[:, 1], -1))
+        - np.dot(clip[:, 1], np.roll(clip[:, 0], -1))
+    ) < 0:
+        clip = clip[::-1]
+    out = np.asarray(subject, dtype=np.float64)
+    m = len(clip)
+    for e in range(m):
+        if len(out) == 0:
+            return out.reshape(0, 2)
+        a, b = clip[e], clip[(e + 1) % m]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        d = ex * (out[:, 1] - a[1]) - ey * (out[:, 0] - a[0])  # >0 = inside
+        nxt = np.roll(np.arange(len(out)), -1)
+        res = []
+        for i in range(len(out)):
+            j = nxt[i]
+            ci, cj = d[i] >= 0, d[j] >= 0
+            if ci:
+                res.append(out[i])
+            if ci != cj:
+                t = d[i] / (d[i] - d[j])
+                res.append(out[i] + t * (out[j] - out[i]))
+        out = np.asarray(res, dtype=np.float64).reshape(-1, 2)
+    return out

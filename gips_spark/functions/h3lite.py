@@ -14,11 +14,19 @@ Where it deliberately differs from canonical H3 (documented, testable):
 
 * **Engine-canonical base cells.** H3's base-cell numbering + per-face
   orientation tables (``baseCellData``, ``faceIjkBaseCells`` — 122 + 540
-  definitional entries) cannot be verified in this sandbox (no ``h3``
-  lib, empty reference mount — SURVEY.md §0). Instead each cell id
-  encodes (face, res-0 axial coord, digit path) directly, with every
-  face's i-axis pointing due north from the face center.  The id space
-  is deterministic, hierarchical (parent = digit-prefix) and stable.
+  definitional entries) cannot be obtained or verified in this sandbox.
+  Round-2 audit of every avenue: no ``h3`` pip package, no network (the
+  DuckDB community ``h3`` extension download fails), empty reference
+  mount (SURVEY.md §0), no table text in the retrieved SNIPPETS.md.
+  The tables are *definitional* (an arbitrary labeling, not derivable
+  from geometry), so embedding unverifiable from-memory constants would
+  risk silently-wrong ids — strictly worse than this documented,
+  tested deviation.  Instead each cell id encodes (face, res-0 axial
+  coord, digit path) directly, with every face's i-axis pointing due
+  north from the face center.  The id space is deterministic,
+  hierarchical (parent = digit-prefix) and stable.  (Contrast: S2 *is*
+  fully algorithmic — functions/s2.py produces real S2 ids, pinned by
+  published-token anchors + a DuckDB-SQL oracle, s2_sql.py.)
 * **Face-Voronoi partitioning instead of pentagon stitching.** A point
   is indexed on the face whose center is nearest (exactly H3's face
   choice); cells are face-local, so the sphere partition is exact
@@ -313,10 +321,8 @@ def local_to_cell(face, i, j, res: int) -> np.ndarray:
     return _encode(face, np.clip(i, -3, 4), np.clip(j, -3, 4), digits, res)
 
 
-def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
-    """Cell id → center (lat, lng) in degrees (inverse gnomonic)."""
-    res, face, i, j = cell_to_local(np.asarray(h, dtype=np.int64))
-    x, y = _axial_to_hex2d(i.astype(np.float64), j.astype(np.float64))
+def _hex2d_to_latlng(face, x, y, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse gnomonic: res-`res` hex2d coords on `face` → degrees."""
     r2d = np.hypot(x, y)
     theta = np.arctan2(y, x)
     if _is_class_iii(res):
@@ -327,6 +333,36 @@ def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
     flng = FACE_CENTER_GEO[face, 1]
     lat, lng = _geo_destination(flat, flng, az, dist)
     return np.degrees(lat), np.degrees(lng)
+
+
+def cell_to_latlng(h) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id → center (lat, lng) in degrees (inverse gnomonic)."""
+    res, face, i, j = cell_to_local(np.asarray(h, dtype=np.int64))
+    x, y = _axial_to_hex2d(i.astype(np.float64), j.astype(np.float64))
+    return _hex2d_to_latlng(face, x, y, res)
+
+
+#: circumradius of the Voronoi hexagon in hex2d space (neighbor spacing 1)
+_HEX_RC = 1.0 / np.sqrt(3.0)
+_HEX_VERT_ANGLES = np.radians(30.0 + 60.0 * np.arange(6))
+
+
+def cell_boundary(h) -> tuple[np.ndarray, np.ndarray]:
+    """Cell ids → hexagon vertices, shape (n, 6) lat / lng degrees.
+
+    Vertices are the Voronoi corners of the face-local triangular
+    lattice (circumradius 1/√3 at angles 30°+60°k from the i-axis in
+    hex2d space), inverse-projected exactly like cell centers.  For
+    cells straddling an icosahedron edge the hexagon is face-local
+    (the documented face-Voronoi deviation); area consumers treat the
+    grid as the engine's own tiling, which it exactly is per-face."""
+    res, face, i, j = cell_to_local(np.asarray(h, dtype=np.int64))
+    cx, cy = _axial_to_hex2d(i.astype(np.float64), j.astype(np.float64))
+    vx = cx[:, None] + _HEX_RC * np.cos(_HEX_VERT_ANGLES)[None, :]
+    vy = cy[:, None] + _HEX_RC * np.sin(_HEX_VERT_ANGLES)[None, :]
+    f6 = np.broadcast_to(face[:, None], vx.shape)
+    lat, lng = _hex2d_to_latlng(f6.ravel(), vx.ravel(), vy.ravel(), res)
+    return lat.reshape(vx.shape), lng.reshape(vx.shape)
 
 
 def parent(h, parent_res: int) -> np.ndarray:

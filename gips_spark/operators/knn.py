@@ -1,4 +1,4 @@
-"""M4 — exact kNN join via cell-directory pruning + ring expansion.
+"""M4 — exact kNN join via two-level cell-directory pruning + ring expansion.
 
 Semantics (FIXTURES.md golden): for each query point, the k nearest
 geocoded pages by exact haversine, ties broken by url ascending.
@@ -6,20 +6,27 @@ geocoded pages by exact haversine, ties broken by url ascending.
 Plan (SURVEY.md J5, adapted so exactness never depends on hex-grid edge
 geometry — see functions/h3lite.py docstring):
 
- 1. Collect the cell directory slice (cell → n_rows, bbox).  Directory
-    is cell-granular (≪ rows; res-4 rollup first if it ever outgrows
-    the driver — the same table, one groupBy coarser).
- 2. Per query (vectorized numpy over all cells): lower-bound distance
-    to each cell = haversine to the bbox-clamped point.  Sort cells by
-    bound; take cells until ≥k cumulative rows; D = max upper bound
-    (haversine to farthest bbox corner) among them; candidates = all
-    cells with lower bound ≤ D.  This is ring expansion in distance
-    space with a closure guarantee: no point outside the candidate set
-    can beat the k-th best.
+ 1. COARSE pass: roll the res-7 cell directory up to res-4 prefixes
+    (one groupBy, distributed) and collect only that — worldwide res-4
+    prefixes are O(10^4-10^5) even at 10^12 rows, vs millions of res-7
+    cells.  Per query, prune prefixes with a RIGOROUS spherical lower
+    bound to each prefix bbox (geom.sphere_min_dist_to_rect_m — exact
+    near poles and across the antimeridian, per VERDICT r1 advice) and
+    a rigorous upper bound (antipode identity); keep prefixes whose
+    lower bound ≤ D_coarse, the k-covering upper bound.
+ 2. FINE pass: collect ONLY the res-7 slice of surviving prefixes
+    (filtered toPandas — the driver never sees the full directory).
+    Re-prune at res 7; final radius R = min(D_fine, D_coarse) still
+    guarantees ≥k rows inside R, and every cell outside the slice has
+    lb ≥ its prefix's lb > D_coarse ≥ R — closure is exact.
  3. Broadcast (query_id, h3_7) candidate pairs; equi-join pages on
     h3_7 (JVM-side); exact haversine as a Column expression (codegen,
     no Arrow hop); Window top-k per query (Catalyst rewrites
     row_number()<=k into per-partition top-k).
+
+The sparse tail needs no full-directory fallback: the coarse pass IS a
+global distance-ordered expansion, so a query in an empty region simply
+keeps the nearest prefixes until k rows are covered.
 """
 
 from __future__ import annotations
@@ -30,57 +37,120 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from gips_spark.functions.geom import haversine_m
+from gips_spark.functions.geom import (
+    haversine_m,
+    sphere_max_dist_to_rect_m,
+    sphere_min_dist_to_rect_m,
+)
 from gips_spark.functions.udfs import haversine_expr
 
+#: res-7 id → res-4 range-partitioning prefix (matches h3lite.cell_prefix)
+PREFIX_SHIFT = 33
 
-def _candidate_cells(directory_pdf: pd.DataFrame, queries_pdf: pd.DataFrame) -> pd.DataFrame:
-    """Driver-side candidate pruning → DataFrame(query_id, h3_7)."""
-    cells = directory_pdf
-    c_n = cells["n_rows"].to_numpy()
-    out_q, out_c = [], []
-    min_lat = cells["min_lat"].to_numpy()
-    max_lat = cells["max_lat"].to_numpy()
-    min_lon = cells["min_lon"].to_numpy()
-    max_lon = cells["max_lon"].to_numpy()
-    ids = cells["h3_7"].to_numpy()
+#: numeric slack added to covering radii: the rect bounds are exact math
+#: but IEEE arccos near ±1 carries up to ~0.1 m error (δθ≈√(2ε) as d→0),
+#: and lb/ub of a degenerate bbox come from different code paths.  1 m
+#: only widens the candidate superset; exactness is unaffected.
+_EPS_M = 1.0
+
+
+def _rect_bounds(pdf: pd.DataFrame, qla: float, qlo: float):
+    """Rigorous (lb, ub) meters from a query to every bbox row of `pdf`."""
+    args = (
+        pdf["min_lat"].to_numpy(),
+        pdf["max_lat"].to_numpy(),
+        pdf["min_lon"].to_numpy(),
+        pdf["max_lon"].to_numpy(),
+    )
+    lb = sphere_min_dist_to_rect_m(qla, qlo, *args)
+    ub = sphere_max_dist_to_rect_m(qla, qlo, *args)
+    return lb, ub
+
+
+def _covering_radius(lb: np.ndarray, ub: np.ndarray, n: np.ndarray, k: int) -> float:
+    """Smallest D = max-ub over the lb-ordered covering set with ≥k rows.
+
+    Guarantee: at least k rows lie within distance D of the query."""
+    order = np.argsort(lb, kind="stable")
+    cum = np.cumsum(n[order])
+    take = min(int(np.searchsorted(cum, k) + 1), len(order))
+    if take == 0:
+        return 0.0
+    return float(ub[order[:take]].max()) + _EPS_M
+
+
+def build_coarse_directory(directory: DataFrame, cell_col: str = "h3_7") -> DataFrame:
+    """res-4 rollup of the cell directory (cell_directory.py:17 plan)."""
+    return directory.groupBy(
+        F.shiftright(F.col(cell_col), PREFIX_SHIFT).alias("prefix")
+    ).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_lat").alias("min_lat"),
+        F.max("max_lat").alias("max_lat"),
+        F.min("min_lon").alias("min_lon"),
+        F.max("max_lon").alias("max_lon"),
+    )
+
+
+def _two_level_candidates(
+    spark, directory: DataFrame, queries_pdf: pd.DataFrame
+) -> tuple[pd.DataFrame, dict]:
+    """Coarse(res-4)→fine(res-7) pruning; collects only the surviving
+    res-7 slice.  Returns (candidates(query_id, h3_7), stats)."""
+    coarse_pdf = build_coarse_directory(directory).toPandas()
+    c_n = coarse_pdf["n_rows"].to_numpy()
+    c_ids = coarse_pdf["prefix"].to_numpy()
+
+    surviving: dict[object, np.ndarray] = {}
+    d_coarse: dict[object, float] = {}
+    union: set[int] = set()
     for _, q in queries_pdf.iterrows():
-        qla, qlo, k = q["lat"], q["lon"], int(q["k"])
-        # lower bound: haversine to the point clamped into the bbox
-        lb = haversine_m(
-            qla, qlo, np.clip(qla, min_lat, max_lat), np.clip(qlo, min_lon, max_lon)
-        )
-        # upper bound: farthest bbox corner
-        corners = [
-            haversine_m(qla, qlo, min_lat, min_lon),
-            haversine_m(qla, qlo, min_lat, max_lon),
-            haversine_m(qla, qlo, max_lat, min_lon),
-            haversine_m(qla, qlo, max_lat, max_lon),
-        ]
-        ub = np.maximum.reduce(corners)
-        order = np.argsort(lb, kind="stable")
-        cum = np.cumsum(c_n[order])
-        take = int(np.searchsorted(cum, k) + 1)
-        take = min(take, len(order))
-        radius = ub[order[:take]].max() if take else 0.0
-        cand = ids[lb <= radius]
-        out_q.extend([q["query_id"]] * len(cand))
+        qla, qlo, k = float(q["lat"]), float(q["lon"]), int(q["k"])
+        lb, ub = _rect_bounds(coarse_pdf, qla, qlo)
+        dc = _covering_radius(lb, ub, c_n, k)
+        keep = c_ids[lb <= dc]
+        surviving[q["query_id"]] = keep
+        d_coarse[q["query_id"]] = dc
+        union.update(int(p) for p in keep)
+
+    slice_df = directory.where(
+        F.shiftright(F.col("h3_7"), PREFIX_SHIFT).isin([int(p) for p in union])
+    )
+    slice_pdf = slice_df.toPandas()
+    f_ids = slice_pdf["h3_7"].to_numpy()
+    f_pref = f_ids >> PREFIX_SHIFT
+    f_n = slice_pdf["n_rows"].to_numpy()
+
+    out_q, out_c = [], []
+    for _, q in queries_pdf.iterrows():
+        qid = q["query_id"]
+        qla, qlo, k = float(q["lat"]), float(q["lon"]), int(q["k"])
+        mine = np.isin(f_pref, surviving[qid])
+        sub = slice_pdf[mine]
+        lb, ub = _rect_bounds(sub, qla, qlo)
+        d_fine = _covering_radius(lb, ub, f_n[mine], k)
+        radius = min(d_fine, d_coarse[qid])
+        cand = f_ids[mine][lb <= radius]
+        out_q.extend([qid] * len(cand))
         out_c.extend(cand.tolist())
-    return pd.DataFrame({"query_id": out_q, "h3_7": out_c})
+    stats = {
+        "n_coarse": len(coarse_pdf),
+        "n_slice": len(slice_pdf),
+        "slice_rows_collected": int(len(slice_pdf)),
+    }
+    return pd.DataFrame({"query_id": out_q, "h3_7": out_c}), stats
 
 
-def knn_join(
-    spark,
-    enriched: DataFrame,
-    queries: DataFrame,
-    directory: DataFrame,
-) -> DataFrame:
-    """→ (query_id, rank, url, dist_m) — exact kNN, ties by url asc."""
-    directory_pdf = directory.toPandas()
-    queries_pdf = queries.toPandas()
-    cand_pdf = _candidate_cells(directory_pdf, queries_pdf)
-    cand = spark.createDataFrame(cand_pdf)
+def _topk(joined: DataFrame) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("url").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "url", "dist_m")
+    )
 
+
+def _join_candidates(enriched: DataFrame, queries: DataFrame, cand: DataFrame) -> DataFrame:
     pts = enriched.where(F.col("geocode_src") != "none").select(
         "url", "lat", "lon", "h3_7"
     )
@@ -90,7 +160,7 @@ def knn_join(
         F.col("lon").alias("q_lon"),
         F.col("k"),
     )
-    joined = (
+    return (
         pts.join(F.broadcast(cand), "h3_7")
         .join(F.broadcast(qdf), "query_id")
         .withColumn(
@@ -98,12 +168,22 @@ def knn_join(
             haversine_expr(F.col("lat"), F.col("lon"), F.col("q_lat"), F.col("q_lon")),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("url").asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "url", "dist_m")
-    )
+
+
+def knn_join(
+    spark,
+    enriched: DataFrame,
+    queries: DataFrame,
+    directory: DataFrame,
+) -> DataFrame:
+    """→ (query_id, rank, url, dist_m) — exact kNN, ties by url asc.
+
+    Two-level (res-4 → res-7) directory pruning; the driver collects
+    only the coarse rollup + the surviving res-7 slice."""
+    queries_pdf = queries.toPandas()
+    cand_pdf, _ = _two_level_candidates(spark, directory, queries_pdf)
+    cand = spark.createDataFrame(cand_pdf)
+    return _topk(_join_candidates(enriched, queries, cand))
 
 
 def _kring_candidates(
@@ -111,21 +191,18 @@ def _kring_candidates(
 ) -> pd.DataFrame:
     """H3 k-ring candidate generation (the literal SURVEY.md J5 plan):
     expand rings around each query's cell until the occupied cells hold
-    ≥k rows, then CLOSE the candidate set with the directory distance
-    bound (all cells whose bbox lower-bound ≤ the ring set's upper
-    bound) — so exactness never depends on hex-edge geometry."""
+    ≥k rows, then CLOSE the candidate set with the rigorous directory
+    distance bound (all cells whose bbox lower-bound ≤ the ring set's
+    upper bound) — so exactness never depends on hex-edge geometry."""
     from gips_spark.functions import h3lite
 
     occupied = set(directory_pdf["h3_7"].tolist())
     n_by_cell = dict(zip(directory_pdf["h3_7"], directory_pdf["n_rows"]))
-    min_lat = directory_pdf["min_lat"].to_numpy()
-    max_lat = directory_pdf["max_lat"].to_numpy()
-    min_lon = directory_pdf["min_lon"].to_numpy()
-    max_lon = directory_pdf["max_lon"].to_numpy()
     ids = directory_pdf["h3_7"].to_numpy()
+    n_rows = directory_pdf["n_rows"].to_numpy()
     out_q, out_c = [], []
     for _, q in queries_pdf.iterrows():
-        qla, qlo, k = q["lat"], q["lon"], int(q["k"])
+        qla, qlo, k = float(q["lat"]), float(q["lon"]), int(q["k"])
         qcell = int(h3lite.latlng_to_cell(np.array([qla]), np.array([qlo]), 7)[0])
         r = 0
         ring_cells: list[int] = []
@@ -134,27 +211,16 @@ def _kring_candidates(
             if sum(n_by_cell[c] for c in ring_cells) >= k:
                 break
             r += 1
-        # closure: upper bound over the ring set, then take every
-        # occupied cell whose lower bound beats it
-        sel = directory_pdf["h3_7"].isin(ring_cells).to_numpy()
-        if not sel.any() or sum(n_by_cell[c] for c in ring_cells) < k:
-            # sparse tail: ring expansion exhausted without k rows in
-            # reach (or cross-face gap) — fall back to the full directory
-            out_q.extend([q["query_id"]] * len(ids))
-            out_c.extend(ids.tolist())
-            continue
-        ub = np.maximum.reduce(
-            [
-                haversine_m(qla, qlo, min_lat[sel], min_lon[sel]),
-                haversine_m(qla, qlo, min_lat[sel], max_lon[sel]),
-                haversine_m(qla, qlo, max_lat[sel], min_lon[sel]),
-                haversine_m(qla, qlo, max_lat[sel], max_lon[sel]),
-            ]
-        ).max()
-        lb = haversine_m(
-            qla, qlo, np.clip(qla, min_lat, max_lat), np.clip(qlo, min_lon, max_lon)
-        )
-        cand = ids[lb <= ub]
+        lb, ub = _rect_bounds(directory_pdf, qla, qlo)
+        if not ring_cells or sum(n_by_cell[c] for c in ring_cells) < k:
+            # sparse tail / cross-face gap: distance-ordered covering on
+            # the SAME directory (no full-directory candidate explosion —
+            # VERDICT r1 'What's wrong' #4)
+            radius = _covering_radius(lb, ub, n_rows, k)
+        else:
+            sel = directory_pdf["h3_7"].isin(ring_cells).to_numpy()
+            radius = float(ub[sel].max()) + _EPS_M
+        cand = ids[lb <= radius]
         out_q.extend([q["query_id"]] * len(cand))
         out_c.extend(cand.tolist())
     return pd.DataFrame({"query_id": out_q, "h3_7": out_c})
@@ -168,29 +234,7 @@ def knn_join_kring(
     directory_pdf = directory.toPandas()
     queries_pdf = queries.toPandas()
     cand = spark.createDataFrame(_kring_candidates(directory_pdf, queries_pdf))
-    pts = enriched.where(F.col("geocode_src") != "none").select(
-        "url", "lat", "lon", "h3_7"
-    )
-    qdf = queries.select(
-        F.col("query_id"),
-        F.col("lat").alias("q_lat"),
-        F.col("lon").alias("q_lon"),
-        F.col("k"),
-    )
-    joined = (
-        pts.join(F.broadcast(cand), "h3_7")
-        .join(F.broadcast(qdf), "query_id")
-        .withColumn(
-            "dist_m",
-            haversine_expr(F.col("lat"), F.col("lon"), F.col("q_lat"), F.col("q_lon")),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("url").asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "url", "dist_m")
-    )
+    return _topk(_join_candidates(enriched, queries, cand))
 
 
 def knn_bruteforce(enriched: DataFrame, queries: DataFrame) -> DataFrame:

@@ -112,14 +112,20 @@ def run_stage(
         F.col("bucket").isin(todo)
     )
     cell = F.col(cell_col) if cell_col and cell_col in written.columns else F.lit(None)
+    agg = written.groupBy("bucket").agg(
+        F.min(cell).alias("cell_lo"),
+        F.max(cell).alias("cell_hi"),
+        F.count(F.lit(1)).alias("row_count"),
+        _checksum_col(written).cast("string").alias("checksum"),
+    )
+    # buckets whose output is EMPTY still get a manifest row (row_count
+    # 0, checksum '0') — otherwise they are never marked complete and
+    # every resume recomputes them (ADVICE r1).
+    todo_df = spark.createDataFrame([(int(b),) for b in todo], "bucket int")
     manifest = (
-        written.groupBy("bucket")
-        .agg(
-            F.min(cell).alias("cell_lo"),
-            F.max(cell).alias("cell_hi"),
-            F.count(F.lit(1)).alias("row_count"),
-            _checksum_col(written).cast("string").alias("checksum"),
-        )
+        todo_df.join(agg, "bucket", "left")
+        .withColumn("row_count", F.coalesce(F.col("row_count"), F.lit(0)))
+        .withColumn("checksum", F.coalesce(F.col("checksum"), F.lit("0")))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("stage", F.lit(stage))
         .withColumn("wall_ms", F.lit(wall_ms))

@@ -35,12 +35,20 @@ from gips_spark.plans import lineage, metrics  # noqa: E402
 
 
 def _enrich(df):
-    return tile_assign.enrich_pages(df, do_repartition=False).drop("extracted_text")
+    # single-pass mode (sampled salt plan, no persist) — the 10^12-row
+    # shape.  `salt` is dropped from the PERSISTED output: it is an
+    # execution-layout helper whose value depends on the salt histogram,
+    # which on resume is computed over the todo-bucket subset only —
+    # keeping it would break the byte-identical resume contract
+    # (ADVICE r1).  `cell_prefix` is per-row deterministic and stays.
+    return tile_assign.enrich_pages(
+        df, do_repartition=False, salt_sample=0.02
+    ).drop("extracted_text", "salt")
 
 
 def _assignments(df):
     return tile_assign.tile_assignments(
-        tile_assign.enrich_pages(df, do_repartition=False)
+        tile_assign.enrich_pages(df, do_repartition=False, salt_sample=0.02)
     )
 
 

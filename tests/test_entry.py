@@ -39,13 +39,9 @@ def test_queries_have_oracles_or_reason(spark):
     qs = em.queries()
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
-    # the rows-only set is exactly the engine-defined/hash-defined ops
-    assert set(qs) - set(oracles) == {
-        "cell_counts_h3",
-        "cell_counts_s2",
-        "minhash_pairs",
-        "simhash_pairs",
-    }
+    # the rows-only set is exactly the ops with no in-sandbox ground
+    # truth (engine-canonical h3 ids); everything else is oracle-checked
+    assert set(qs) - set(oracles) == {"cell_counts_h3", "footprint_cover"}
 
 
 def test_fast_queries_match_duckdb(spark):

@@ -103,3 +103,67 @@ def test_two_fresh_runs_identical_checksums(spark, pages, tmp_path):
             )
         )
     assert sums[0] == sums[1]
+
+
+def test_empty_buckets_get_manifest_rows(spark, tmp_path):
+    """A bucket whose output is empty still gets a lineage row
+    (row_count 0), so it is never recomputed on resume (ADVICE r1)."""
+    import pandas as pd
+
+    out = str(tmp_path / "empty_b")
+    # 3 rows → with 16 buckets most buckets are empty
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b", "c"], "v": [1, 2, 3]})
+    )
+    m1 = lineage.run_stage(
+        spark, "s", "r1", df, lambda d: d, "url", out, n_buckets=16
+    )
+    lin = spark.read.parquet(f"{out}/_lineage")
+    assert lin.count() == 16
+    assert lin.where(F.col("row_count") == 0).count() == 13
+    # full resume: zero new work even though most buckets were empty
+    m2 = lineage.run_stage(
+        spark, "s", "r2", df, lambda d: d, "url", out, n_buckets=16
+    )
+    assert m2["resumed"] and m2["buckets_run"] == 0
+
+
+def test_stage_resume_byte_identical_without_salt(spark, pages, tmp_path):
+    """The run_stage._enrich contract: persisted output excludes `salt`
+    (histogram-dependent under bucket filtering), so delete-and-resume
+    reproduces identical checksums even for the full enrich stage
+    (ADVICE r1 medium)."""
+    import shutil
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "jobs"))
+    import run_stage as rs
+
+    out = str(tmp_path / "enr")
+    lineage.run_stage(
+        spark, "enrich", "r1", pages, rs._enrich, "url", out, n_buckets=8,
+        cell_col="h3_7",
+    )
+    lin1 = {
+        r["bucket"]: r["checksum"]
+        for r in spark.read.parquet(f"{out}/_lineage").collect()
+    }
+    assert "salt" not in spark.read.parquet(f"{out}/data").columns
+
+    for b in (1, 6):
+        shutil.rmtree(f"{out}/data/bucket={b}")
+    keep = spark.read.parquet(f"{out}/_lineage").where(~F.col("bucket").isin([1, 6])).cache()
+    keep.count()
+    shutil.rmtree(f"{out}/_lineage")
+    keep.write.parquet(f"{out}/_lineage")
+
+    m = lineage.run_stage(
+        spark, "enrich", "r2", pages, rs._enrich, "url", out, n_buckets=8,
+        cell_col="h3_7",
+    )
+    assert m["buckets_run"] == 2
+    lin2 = {
+        r["bucket"]: r["checksum"]
+        for r in spark.read.parquet(f"{out}/_lineage").collect()
+    }
+    assert lin2 == lin1

@@ -162,3 +162,52 @@ def test_coverage_fractions(spark, enriched, extents, directory):
         (F.col("ptile") < 0) | (F.col("ptile") > 1) | (F.col("pcov") < 0)
     ).count()
     assert bad == 0
+
+
+def test_knn_two_level_slice_under_one_percent(spark):
+    """VERDICT r1 #6 done-criterion: with a ~10^5-cell directory the
+    driver collects <1% of it (coarse rollup + surviving res-7 slice),
+    and results stay brute-force-equal."""
+    import pandas as pd
+
+    from gips_spark.functions import h3lite
+    from gips_spark.operators import cell_directory
+
+    rng = np.random.default_rng(1234)
+    n = 100_000
+    # near-uniform on the sphere → ~1e5 distinct res-7 cells
+    lat = np.degrees(np.arcsin(rng.uniform(-0.999, 0.999, n)))
+    lon = rng.uniform(-180.0, 180.0, n)
+    cells = h3lite.latlng_to_cell(lat, lon, 7)
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://x{i}.example.com/p" for i in range(n)],
+            "lat": lat,
+            "lon": lon,
+            "h3_7": cells,
+            "geocode_src": "grid",
+        }
+    )
+    pts = spark.createDataFrame(pdf).cache()
+    directory = cell_directory.build_cell_directory(pts).cache()
+    n_cells = directory.count()
+    assert n_cells > 90_000
+
+    qpdf = pd.DataFrame(
+        {
+            "query_id": ["Q1", "Q2", "Q3", "Q4"],
+            "lat": [48.85, -33.87, 0.0, 89.0],
+            "lon": [2.35, 151.21, -179.99, 10.0],
+            "k": [5, 10, 3, 7],
+        }
+    )
+    q = spark.createDataFrame(qpdf)
+
+    cand, stats = knn._two_level_candidates(spark, directory, qpdf)
+    frac = stats["slice_rows_collected"] / n_cells
+    assert frac < 0.01, f"slice fraction {frac:.3%} (collected {stats})"
+
+    a = knn.knn_join(spark, pts, q, directory).cache()
+    b = knn.knn_bruteforce(pts, q).cache()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
