@@ -528,6 +528,87 @@ def _q_s2_anchor_tokens(spark, sf_dir):
     )
 
 
+def _q_json_extract(spark, sf_dir):
+    """X8 json — get_json_object over the events.props JSON column."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def _q_percentiles(spark, sf_dir):
+    """A5/X2 — EXACT percentiles (linear interpolation) per group."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def _q_conditional_agg(spark, sf_dir):
+    """A2 — conditional aggregates (count_if / filtered sum / bool_or)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("count_if(value > 0.5)").alias("n_hi"),
+        F.round(F.sum(F.when(F.col("value") <= 0.5, F.col("value"))), 6).alias(
+            "sum_lo"
+        ),
+        F.expr("bool_or(value > 0.99)").alias("any_top"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_semi_join(spark, sf_dir):
+    """J8 — left-semi chain: nations having customers with 1995 orders."""
+    nation = _read(spark, sf_dir, "nation")
+    customer = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    c95 = customer.join(
+        orders.where(F.year("o_orderdate") == 1995).select("o_custkey"),
+        customer.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    )
+    return (
+        nation.join(c95, nation.n_nationkey == c95.c_nationkey, "left_semi")
+        .select("n_nationkey", "n_name")
+    )
+
+
+def _q_except_op(spark, sf_dir):
+    """U2 — EXCEPT: custkeys ordering in 1995 but not in 1996."""
+    orders = _read(spark, sf_dir, "orders")
+    a = orders.where(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep keys
+    # whose 1995 multiplicity merely exceeds their 1996 multiplicity
+    return a.subtract(b)
+
+
+def _q_session_windows(spark, sf_dir):
+    """W/A — gap-based sessionization (30-min gap) via session_window;
+    oracle is the classic gaps-and-islands SQL."""
+    ev = _read(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_val"))
+    return sw.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events", "sum_val"
+    )
+
+
 #: deterministic synthetic QA word (identical expression both engines)
 _QA_EXPR = "CAST(floor(abs(value) * CAST(100000 AS DOUBLE)) AS BIGINT) % 65536"
 
@@ -615,6 +696,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_anchor_tokens": _q_s2_anchor_tokens,
         "qa_mask_unpack": _q_qa_unpack,
         "footprint_cover": _q_footprint_cover,
+        "json_extract_agg": _q_json_extract,
+        "percentile_value": _q_percentiles,
+        "conditional_agg": _q_conditional_agg,
+        "semi_join_1995": _q_semi_join,
+        "except_custkeys": _q_except_op,
+        "session_windows": _q_session_windows,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
     }
@@ -833,6 +920,61 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") t(name, token_prefix)"
         ),
+        "json_extract_agg": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+            FROM events GROUP BY 1
+        """,
+        "percentile_value": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
+        """,
+        "conditional_agg": """
+            SELECT event_type,
+                   CAST(count(*) FILTER (WHERE value > 0.5) AS BIGINT) AS n_hi,
+                   round(sum(value) FILTER (WHERE value <= 0.5), 6) AS sum_lo,
+                   bool_or(value > 0.99) AS any_top,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "semi_join_1995": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_nationkey = nation.n_nationkey
+                  AND EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND year(o_orderdate) = 1995))
+        """,
+        "except_custkeys": """
+            SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "session_windows": """
+            WITH d AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_val
+            FROM s GROUP BY user_id, sid
+        """,
         "qa_mask_unpack": f"""
             WITH q AS (SELECT {_QA_EXPR} AS qa FROM events),
             u AS (SELECT qa,

@@ -117,15 +117,11 @@ def _cover_one(wkt: str, res: int) -> list[tuple]:
     # half-plane test of all 6 vertices against every footprint edge
     nq = len(quad)
     inside = np.ones(blat.shape, dtype=bool)
-    outside_all = np.zeros(blat.shape, dtype=bool)
     for e in range(nq):
         a, b = quad[e], quad[(e + 1) % nq]
         d = (b[0] - a[0]) * (blat - a[1]) - (b[1] - a[1]) * (blng - a[0])
         inside &= d >= 0
-        outside_all |= d < 0
     fully_in = inside.all(axis=1)
-    # cells whose EVERY vertex is outside one common half-plane are
-    # definitely disjoint; everything else is a boundary candidate
     out_rows = []
     res_a = np.where(fully_in, hex_a, 0.0)
     boundary = ~fully_in
@@ -159,3 +155,14 @@ def footprint_cover(spark, scenes: DataFrame, res: int = 7) -> DataFrame:
         .join(cover, "footprint_wkt")
         .select("scene_id", "h3_7", "a_m2", "pcov", "ptile")
     )
+
+
+def scenes_with_cells(spark, scenes: DataFrame, res: int = 7) -> DataFrame:
+    """Populate the data model's `h3_cells: array<long>` column (SURVEY
+    §1.2) from the area cover: every res-7 cell the footprint touches,
+    sorted for determinism."""
+    cov = footprint_cover(spark, scenes, res=res)
+    cells = cov.groupBy("scene_id").agg(
+        F.array_sort(F.collect_list("h3_7")).alias("h3_cells")
+    )
+    return scenes.join(cells, "scene_id", "left")

@@ -77,7 +77,10 @@ def ivf_topk(
     sample = np.stack(
         [
             np.asarray(r["v"], dtype=np.float64)
-            for r in vectors.select(F.col(vec_col).alias("v")).limit(sample_rows).collect()
+            for r in vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .orderBy("i")
+            .limit(sample_rows)
+            .collect()
         ]
     )
     cents = _kmeans(sample, n_centroids)

@@ -72,9 +72,9 @@ def compute_products(raster_chunks: DataFrame, products: list[str] | None = None
         first = pdf.iloc[0]
         nodata = float(first["nodata"])
         bands = {}
-        for _, r in pdf.iterrows():
-            px = np.asarray(r["pixels"], dtype=np.float64)
-            bands[r["band"]] = np.where(px == nodata, np.nan, px)
+        for band, pixels in zip(pdf["band"], pdf["pixels"]):
+            px = np.asarray(pixels, dtype=np.float64)
+            bands[band] = np.where(px == nodata, np.nan, px)
         if len(bands) < 6:
             return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
         idx = _index_formulas(bands)
@@ -114,7 +114,10 @@ def cloud_mask(raster_chunks: DataFrame, threshold: float = 0.45) -> DataFrame:
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         first = pdf.iloc[0]
         nodata = float(first["nodata"])
-        px = {r["band"]: np.asarray(r["pixels"], dtype=np.float64) for _, r in pdf.iterrows()}
+        px = {
+            b: np.asarray(p, dtype=np.float64)
+            for b, p in zip(pdf["band"], pdf["pixels"])
+        }
         if "blue" not in px or "green" not in px:
             return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
         valid = (px["blue"] != nodata) & (px["green"] != nodata)
@@ -229,29 +232,29 @@ def zonal_stats(
         prep = bc.value
         for pdf in it:
             out = []
-            for _, r in pdf.iterrows():
-                poly = prep.get(r["extent_id"])
+            for r in pdf.itertuples(index=False):
+                poly = prep.get(r.extent_id)
                 if poly is None:
                     continue
-                w, h = int(r["w"]), int(r["h"])
-                gt = list(r["gt"])
-                cols = np.arange(w) + int(r["x0"])
-                rows_ = np.arange(h) + int(r["y0"])
+                w, h = int(r.w), int(r.h)
+                gt = list(r.gt)
+                cols = np.arange(w) + int(r.x0)
+                rows_ = np.arange(h) + int(r.y0)
                 lons = gt[0] + (cols + 0.5) * gt[1]
                 lats = gt[3] + (rows_ + 0.5) * gt[5]
                 lon_g = np.repeat(lons[None, :], h, axis=0).ravel()
                 lat_g = np.repeat(lats[:, None], w, axis=1).ravel()
                 inside = poly.contains_chunked(lon_g, lat_g)
-                px = np.asarray(r["pixels"], dtype=np.float64)
-                nodata = float(r["nodata"])
+                px = np.asarray(r.pixels, dtype=np.float64)
+                nodata = float(r.nodata)
                 v = px[inside & (px != nodata)]
                 if v.size == 0:
                     continue
                 out.append(
                     {
-                        "extent_id": r["extent_id"],
-                        "scene_id": r["scene_id"],
-                        "band": r["band"],
+                        "extent_id": r.extent_id,
+                        "scene_id": r.scene_id,
+                        "band": r.band,
                         "n": int(v.size),
                         "s1": float(v.sum()),
                         "s2": float((v**2).sum()),
@@ -381,8 +384,8 @@ def mosaic_first_nonnodata(chunks: DataFrame, band: str) -> DataFrame:
         first = pdf.iloc[0]
         nodata = float(first["nodata"])
         acc = np.full(len(first["pixels"]), nodata, dtype=np.float64)
-        for _, r in pdf.iterrows():
-            px = np.asarray(r["pixels"], dtype=np.float64)
+        for pixels in pdf["pixels"]:
+            px = np.asarray(pixels, dtype=np.float64)
             fill = acc == nodata
             acc[fill] = px[fill]
         out = first.to_dict()

@@ -34,18 +34,38 @@ def write_table(
     name_or_path: str,
     partition_cols: tuple[str, ...] = (),
     mode: str = "append",
+    bucket_by: tuple[int, str] | None = None,
 ) -> str:
     """Append/overwrite a table. Iceberg `writeTo` when jars exist, else
-    partitioned parquet at the given path. Returns the engine used."""
+    partitioned parquet at the given path. Returns the engine used.
+
+    ``bucket_by=(n, col)`` mirrors Iceberg's ``bucket(n, col)`` partition
+    transform.  The parquet fallback pins the SAME physical layout an
+    Iceberg bucketed write produces — a ``{col}_bucket=<b>/`` directory
+    level with exactly one file per bucket (repartitioned on the bucket
+    key before the write) — so a cluster run with real jars changes the
+    catalog entry, not the file layout.  (Hash family differs: Iceberg
+    buckets with Murmur3, the fallback with xxhash64 — layout-equivalent,
+    documented.)"""
     if iceberg_available(spark) and not name_or_path.startswith(("/", "file:")):
         w = df.writeTo(name_or_path)
-        if partition_cols:
-            w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+        parts = [F.col(c) for c in partition_cols]
+        if bucket_by:
+            parts.append(F.bucket(bucket_by[0], bucket_by[1]))
+        if parts:
+            w = w.partitionedBy(*parts)
         (w.createOrReplace() if mode == "overwrite" else w.append())
         return "iceberg"
+    out_cols = list(partition_cols)
+    if bucket_by:
+        n, col = bucket_by
+        bcol = f"{col}_bucket"
+        df = df.withColumn(bcol, F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
+        out_cols.append(bcol)
+        df = df.repartition(*[F.col(c) for c in out_cols])
     w = df.write.mode(mode)
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
+    if out_cols:
+        w = w.partitionBy(*out_cols)
     w.parquet(name_or_path)
     return "parquet"
 

@@ -94,6 +94,47 @@ def main():
     checks.append(("knn: no python above the cache scan", "ArrowEvalPython" not in above_cache))
     checks.append(("knn: whole-stage codegen spans", "codegen id" in kp))
 
+    # r2: single-pass assign — ONE Arrow stage, no block-manager persist in plan
+    sp1 = formatted(
+        tile_assign.enrich_pages(pages, salt_target_rows=5000, salt_sample=0.02)
+    )
+    sections["assign single-pass (sampled salt, hash partition)"] = sp1
+    checks.append(
+        ("assign-sp: no InMemoryRelation (no persist)", "InMemoryRelation" not in sp1)
+    )
+    checks.append(("assign-sp: salt plan broadcast", "BroadcastExchange" in sp1))
+
+    # r2: coarse directory rollup — pure JVM agg over the directory
+    coarse = knn.build_coarse_directory(directory)
+    cp = formatted(coarse)
+    sections["coarse directory (res-4 rollup for two-level kNN)"] = cp
+    checks.append(
+        ("coarse-dir: JVM-only partial agg", "HashAggregate" in cp and "ArrowEvalPython" not in cp.split("InMemoryRelation")[0])
+    )
+
+    # r2: QA unpack — pure Column ops, zero Python
+    from gips_spark.operators import qa as qa_ops
+
+    qdf = spark.range(1000).select((F.col("id") % 65536).alias("qa"))
+    qp = formatted(qa_ops.qa_unpack(qdf, "qa"))
+    sections["qa_unpack (bitfield → columns)"] = qp
+    checks.append(
+        ("qa: zero Python in plan", "ArrowEvalPython" not in qp and "BatchEvalPython" not in qp)
+    )
+
+    # r2: footprint cover — mapInPandas over DISTINCT footprints only,
+    # broadcast join back to scenes
+    from gips_spark.operators import footprint as fp_ops
+
+    scenes = fixtures.gen_scenes(spark)
+    fc = fp_ops.footprint_cover(spark, scenes)
+    fpp = formatted(fc)
+    sections["footprint_cover (distinct-footprint kernel → broadcast join back)"] = fpp
+    checks.append(
+        ("footprint: dedup before kernel (HashAggregate under MapInPandas)",
+         "MapInPandas" in fpp and "HashAggregate" in fpp)
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     out.append("## Checks")
     ok_all = True

@@ -144,7 +144,25 @@ def main():
 
     pairs = []  # (canaries(3), t8, t32, rows)
     canaries_all = []
+    # calibrate the floor before any pair
+    for _ in range(3):
+        canaries_all.append(canary_seconds())
     for rnd in range(args.max_rounds):
+        # PRE-GATE: don't start a pair in a degraded window — a rejected
+        # pair costs 2 full trials; waiting costs 60s per probe.
+        waited = 0
+        while waited < 1800:
+            probe = canary_seconds()
+            canaries_all.append(probe)
+            if probe <= args.tol * min(canaries_all):
+                break
+            print(
+                f"round {rnd}: degraded (canary {probe:.2f} > "
+                f"{args.tol:.2f}×{min(canaries_all):.2f}), waiting 60s",
+                flush=True,
+            )
+            time.sleep(60)
+            waited += 60
         c0 = canary_seconds()
         r8 = run_trial(masters[0][0], masters[0][1], cache)
         c1 = canary_seconds()

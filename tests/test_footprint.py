@@ -120,3 +120,15 @@ def test_footprint_cover_all_scenes_shapes(spark, scenes):
         ca = cov.where(F.col("scene_id") == a).select("h3_7", "a_m2")
         cb = cov.where(F.col("scene_id") == b).select("h3_7", "a_m2")
         assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+
+def test_scenes_with_cells_populates_column(spark, scenes):
+    from pyspark.sql import functions as F2
+
+    sub = scenes.limit(30)
+    got = footprint.scenes_with_cells(spark, sub)
+    assert "h3_cells" in got.columns
+    assert got.where(F2.size("h3_cells") > 10).count() == 30
+    # sorted + distinct
+    one = got.select("h3_cells").first()["h3_cells"]
+    assert one == sorted(one) and len(one) == len(set(one))

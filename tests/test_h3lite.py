@@ -114,3 +114,56 @@ def test_determinism():
     a = h3lite.latlng_to_cell(LAT[:10000], LNG[:10000], 7)
     b = h3lite.latlng_to_cell(LAT[:10000].copy(), LNG[:10000].copy(), 7)
     assert np.array_equal(a, b)
+
+
+def test_cell_boundary_tessellation():
+    """Voronoi hexagons of the face-local lattice tile the plane: k-ring
+    neighbors share vertices exactly and pairwise-overlap ~zero area."""
+    from gips_spark.functions import geom
+
+    for lat, lng in [(48.85, 2.35), (-33.87, 151.21), (35.68, 139.65)]:
+        c0 = int(h3lite.latlng_to_cell(np.array([lat]), np.array([lng]), 7)[0])
+        ring = h3lite.k_ring(c0, 1)
+        blat, blng = h3lite.cell_boundary(ring)
+        i0 = list(ring).index(c0)
+        hex0 = np.stack([blng[i0], blat[i0]], axis=1)
+        a0 = geom.ring_area_m2(blng[i0], blat[i0])
+        for i, c in enumerate(ring):
+            if i == i0:
+                continue
+            inter = geom.clip_convex(hex0, np.stack([blng[i], blat[i]], axis=1))
+            if len(inter) >= 3:
+                a = geom.ring_area_m2(inter[:, 0], inter[:, 1])
+                assert a < 1e-6 * a0, (c, a, a0)
+        # each neighbor shares exactly 2 vertices with hex0 (to 1e-9°)
+        neigh = [i for i in range(len(ring)) if i != i0]
+        shared_counts = []
+        for i in neigh:
+            d2 = (blng[i0][:, None] - blng[i][None, :]) ** 2 + (
+                blat[i0][:, None] - blat[i][None, :]
+            ) ** 2
+            shared_counts.append(int((d2.min(axis=1) < 1e-18).sum()))
+        assert sorted(shared_counts) == [2] * 6, shared_counts
+
+
+def test_cell_boundary_contains_center():
+    rng = np.random.default_rng(77)
+    lat = rng.uniform(-85, 85, 500)
+    lng = rng.uniform(-180, 180, 500)
+    ids = h3lite.latlng_to_cell(lat, lng, 7)
+    blat, blng = h3lite.cell_boundary(ids)
+    clat, clng = h3lite.cell_to_latlng(ids)
+    # center inside its own hexagon (convex, half-plane test per edge)
+    for t in range(0, 500, 7):
+        hx = np.stack([blng[t], blat[t]], axis=1)
+        if (
+            np.dot(hx[:, 0], np.roll(hx[:, 1], -1))
+            - np.dot(hx[:, 1], np.roll(hx[:, 0], -1))
+        ) < 0:
+            hx = hx[::-1]
+        ok = True
+        for e in range(6):
+            a, b = hx[e], hx[(e + 1) % 6]
+            if (b[0] - a[0]) * (clat[t] - a[1]) - (b[1] - a[1]) * (clng[t] - a[0]) < 0:
+                ok = False
+        assert ok, (clat[t], clng[t])
