@@ -20,7 +20,14 @@ def shuffle_bytes_total(spark: SparkSession) -> int:
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
         empty = sc._jvm.java.util.ArrayList()
-        it = store.stageList(empty).iterator()
+        try:
+            # Spark 4.x signature:
+            # stageList(JList, unsorted, details, taskQuantiles[], statuses)
+            darr = sc._gateway.new_array(sc._jvm.double, 0)
+            seq = store.stageList(empty, False, False, darr, empty)
+        except Exception:
+            seq = store.stageList(empty)  # older signature
+        it = seq.iterator()
         total = 0
         while it.hasNext():
             s = it.next()
