@@ -33,6 +33,34 @@ def salt_plan(df: DataFrame, cell_col: str, target_rows: int = DEFAULT_TARGET_RO
     )
 
 
+def salt_plan_presampled(
+    sampled_df: DataFrame,
+    cell_col: str,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    fraction: float = 0.02,
+) -> DataFrame:
+    """Salt plan from an ALREADY-SAMPLED input.
+
+    Catalyst does NOT push `sample` below an ArrowEvalPython projection
+    (verified in-plan), so sampling the UDF *output* costs a full UDF
+    pass — the caller must sample the RAW input and run the enrichment
+    chain on the 2% subset (tile_assign.enrich_pages does this).  Counts
+    are scaled by 1/fraction exactly like salt_plan_sampled."""
+    est = (
+        sampled_df.groupBy(cell_col)
+        .count()
+        .select(
+            F.col(cell_col),
+            (F.col("count") / F.lit(fraction)).alias("est_rows"),
+        )
+        .where(F.col("est_rows") > target_rows)
+    )
+    return est.select(
+        cell_col,
+        F.ceil(F.col("est_rows") / F.lit(target_rows)).cast("int").alias("n_salt"),
+    )
+
+
 def salt_plan_sampled(
     df: DataFrame,
     cell_col: str,
@@ -68,12 +96,19 @@ def with_salt(
     plan: DataFrame | None = None,
     target_rows: int = DEFAULT_TARGET_ROWS,
 ) -> DataFrame:
-    """Add a `salt` column: 0 for cold cells, hash-spread for hot cells."""
+    """Add a `salt` column: 0 for cold cells, hash-spread for hot cells.
+
+    The join is NULL-SAFE: the non-geocodable rows (cell NULL — roughly
+    half of web pages) form the single largest "cell" and MUST be
+    salted too, or `repartition(cell_prefix, salt)` sends them all to
+    one reducer partition — a 5×10^11-row straggler at the 10^12-row
+    posture (r2 fix; a plain equality join silently dropped the NULL
+    plan row)."""
     if plan is None:
         plan = salt_plan(df, cell_col, target_rows)
     plan = plan.withColumnRenamed(cell_col, "__salt_cell")
     out = df.join(
-        F.broadcast(plan), df[cell_col] == F.col("__salt_cell"), "left"
+        F.broadcast(plan), df[cell_col].eqNullSafe(F.col("__salt_cell")), "left"
     ).drop("__salt_cell")
     return out.withColumn(
         "salt",

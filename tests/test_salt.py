@@ -24,11 +24,20 @@ def test_hot_cells_get_salt(enriched):
     )
     assert all(r["ns"] > 1 for r in fanout)
     cold = (
-        enriched.where(~F.col("h3_7").isin(hot_ids) | F.col("h3_7").isNull())
+        enriched.where(~F.col("h3_7").isin(hot_ids) & F.col("h3_7").isNotNull())
         .select(F.max("salt"))
         .first()[0]
     )
     assert cold == 0
+    # the NULL cell (non-geocodable rows — the biggest group of all) MUST
+    # be salted too: unsalted it is a single 5×10^11-row reducer
+    # partition at the 10^12-row posture (r2 null-safe salt join fix)
+    null_fanout = (
+        enriched.where(F.col("h3_7").isNull())
+        .select(F.countDistinct("salt"))
+        .first()[0]
+    )
+    assert null_fanout > 1
 
 
 def test_salted_partial_agg_equals_direct(enriched):
