@@ -148,6 +148,35 @@ def extract_and_cells(
     )
 
 
+CELLS_ONLY_SCHEMA = T.StructType(
+    [
+        T.StructField("h3_7", T.LongType()),
+        T.StructField("s2_13", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(CELLS_ONLY_SCHEMA)
+def cells_only(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+    """Assignment-only fused kernel: (lat, lon) → (h3_7, s2_13).
+
+    16 bytes/row each way across the Arrow channel vs ~1 KB/row for the
+    text-materializing kernel — the channel is syscall-bound on this
+    host, so the assignments stage (whose output never includes text)
+    uses this variant (enrich_pages(with_text=False))."""
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    ok = ~(np.isnan(la) | np.isnan(lo))
+    h3 = np.zeros(len(la), dtype=np.int64)
+    s2c = np.zeros(len(la), dtype=np.int64)
+    if ok.any():
+        h3[ok] = h3lite.latlng_to_cell(la[ok], lo[ok], H3_RES)
+        s2c[ok] = s2.latlng_to_cell(la[ok], lo[ok], S2_LEVEL)
+    return pd.DataFrame(
+        {"h3_7": _masked_int64(h3, ok), "s2_13": _masked_int64(s2c, ok)}
+    )
+
+
 @pandas_udf(ENRICH_SCHEMA)
 def enrich_from_stripped(
     stripped: pd.Series, url: pd.Series, text: pd.Series

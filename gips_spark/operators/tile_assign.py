@@ -34,6 +34,7 @@ def enrich_pages(
     persist: bool | None = None,
     salt_sample: float | None = None,
     range_partition: bool = False,
+    with_text: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → pages_enriched.
 
@@ -54,17 +55,31 @@ def enrich_pages(
     glat, glon, gsrc = udfs.geocode_exprs(F.col("url"), F.col("text"))
 
     def chain(df: DataFrame) -> DataFrame:
-        out = (
-            df.withColumn("stripped", udfs.strip_html_expr(F.col("html")))
-            .withColumn("lat", glat)
-            .withColumn("lon", glon)
-            .withColumn("geocode_src", gsrc)
-            .withColumn(
-                "e",
-                udfs.extract_and_cells(F.col("stripped"), F.col("lat"), F.col("lon")),
+        if with_text:
+            out = (
+                df.withColumn("stripped", udfs.strip_html_expr(F.col("html")))
+                .withColumn("lat", glat)
+                .withColumn("lon", glon)
+                .withColumn("geocode_src", gsrc)
+                .withColumn(
+                    "e",
+                    udfs.extract_and_cells(
+                        F.col("stripped"), F.col("lat"), F.col("lon")
+                    ),
+                )
+                .select("url", "warc_ts", "lang", "lat", "lon", "geocode_src", "e.*")
             )
-            .select("url", "warc_ts", "lang", "lat", "lon", "geocode_src", "e.*")
-        )
+        else:
+            # assignment-only: the geocoder is JVM expressions over
+            # url/text; only 16 B/row (lat, lon) enter Python and 16
+            # B/row (h3, s2) return — no html strip, no text transfer.
+            out = (
+                df.withColumn("lat", glat)
+                .withColumn("lon", glon)
+                .withColumn("geocode_src", gsrc)
+                .withColumn("e", udfs.cells_only(F.col("lat"), F.col("lon")))
+                .select("url", "warc_ts", "lang", "lat", "lon", "geocode_src", "e.*")
+            )
         return out.withColumn(
             "cell_prefix",
             F.when(

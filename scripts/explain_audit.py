@@ -94,7 +94,19 @@ def main():
     checks.append(("knn: no python above the cache scan", "ArrowEvalPython" not in above_cache))
     checks.append(("knn: whole-stage codegen spans", "codegen id" in kp))
 
-    # r2: single-pass assign — ONE Arrow stage, no block-manager persist in plan
+    # r2: coarse directory rollup — pure JVM agg over the directory
+    coarse = knn.build_coarse_directory(directory)
+    cp = formatted(coarse)
+    sections["coarse directory (res-4 rollup for two-level kNN)"] = cp
+    checks.append(
+        ("coarse-dir: JVM-only partial agg", "HashAggregate" in cp and "ArrowEvalPython" not in cp.split("InMemoryRelation")[0])
+    )
+
+    # r2: single-pass assign — ONE Arrow stage, no block-manager persist
+    # in plan.  clearCache first: the exact-mode enr persisted above
+    # otherwise gets substituted into this plan by logical-plan cache
+    # matching and shows a spurious InMemoryRelation.
+    spark.catalog.clearCache()
     sp1 = formatted(
         tile_assign.enrich_pages(pages, salt_target_rows=5000, salt_sample=0.02)
     )
@@ -104,13 +116,6 @@ def main():
     )
     checks.append(("assign-sp: salt plan broadcast", "BroadcastExchange" in sp1))
 
-    # r2: coarse directory rollup — pure JVM agg over the directory
-    coarse = knn.build_coarse_directory(directory)
-    cp = formatted(coarse)
-    sections["coarse directory (res-4 rollup for two-level kNN)"] = cp
-    checks.append(
-        ("coarse-dir: JVM-only partial agg", "HashAggregate" in cp and "ArrowEvalPython" not in cp.split("InMemoryRelation")[0])
-    )
 
     # r2: QA unpack — pure Column ops, zero Python
     from gips_spark.operators import qa as qa_ops

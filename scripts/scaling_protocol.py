@@ -84,16 +84,16 @@ TRIAL_CODE = r"""
 import time, json, sys
 from gips_spark import get_spark
 from gips_spark.operators import tile_assign
-master = sys.argv[1]; cpus = int(sys.argv[2])
+master = sys.argv[1]; cpus = int(sys.argv[2]); with_text = sys.argv[4] == 'text' 
 spark = get_spark('scalp', master=master, shuffle_partitions=max(cpus, 32))
 pages = spark.read.parquet(sys.argv[3])
 warm = pages.limit(60000).repartition(cpus * 2)
 tile_assign.enrich_pages(warm, persist=False, do_repartition=False,
-                         salt_sample=0.02) \
+                         salt_sample=0.02, with_text=with_text) \
     .write.format('noop').mode('overwrite').save()
 t0 = time.monotonic()
 n = tile_assign.enrich_pages(pages, salt_target_rows=20000,
-                             salt_sample=0.02) \
+                             salt_sample=0.02, with_text=with_text) \
     .write.format('noop').mode('overwrite').save()
 dt = time.monotonic() - t0
 cnt = spark.read.parquet(sys.argv[3]).count()
@@ -102,9 +102,9 @@ spark.stop()
 """
 
 
-def run_trial(master: str, cpus: int, cache: str) -> dict:
+def run_trial(master: str, cpus: int, cache: str, workload: str = "text") -> dict:
     p = subprocess.run(
-        [sys.executable, "-c", TRIAL_CODE, master, str(cpus), cache],
+        [sys.executable, "-c", TRIAL_CODE, master, str(cpus), cache, workload],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     for line in p.stdout.splitlines():
@@ -126,6 +126,12 @@ def main():
                     help="stop starting new rounds after this much wall time")
     ap.add_argument(
         "--mode", choices=["local", "local-cluster"], default="local"
+    )
+    ap.add_argument(
+        "--workload", choices=["text", "cells"], default="text",
+        help="text = full extract+assign pipeline; cells = assignment-only"
+             " (16 B/row Arrow traffic — isolates the engine's scaling from"
+             " the host's shared-kernel socket channel)",
     )
     args = ap.parse_args()
 
@@ -161,9 +167,9 @@ def main():
         # 4N) trials share weather common-mode; the flanking canaries
         # decide acceptance afterwards.
         c0 = canary_seconds()
-        r8 = run_trial(masters[0][0], masters[0][1], cache)
+        r8 = run_trial(masters[0][0], masters[0][1], cache, args.workload)
         c1 = canary_seconds()
-        r32 = run_trial(masters[1][0], masters[1][1], cache)
+        r32 = run_trial(masters[1][0], masters[1][1], cache, args.workload)
         c2 = canary_seconds()
         canaries_all += [c0, c1, c2]
         pairs.append(
@@ -193,7 +199,7 @@ def main():
 
     lines = [
         "",
-        f"## Canary-gated scaling protocol ({args.mode} mode, {rows:,} rows, assign single-pass)",
+        f"## Canary-gated scaling protocol ({args.mode} mode, {args.workload} workload, {rows:,} rows, assign single-pass)",
         "",
         "Acceptance rule (pre-registered, scripts/scaling_protocol.py): a",
         "(N, 4N) interleaved pair counts iff all three flanking canary runs",
@@ -221,7 +227,7 @@ def main():
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    with open(os.path.join(REPO, "BENCH", f"scaling_pairs_{args.mode}.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_pairs_{args.mode}_{args.workload}.json"), "w") as f:
         json.dump({"floor": floor, "tol": args.tol, "rows": rows,
                    "pairs": pairs}, f, indent=1)
     print(json.dumps({"floor": floor, "median_eff": med_eff,
