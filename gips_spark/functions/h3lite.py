@@ -409,3 +409,51 @@ def k_ring(h: int, k: int) -> np.ndarray:
     if np.any(wrong):
         ids[wrong] = latlng_to_cell(lat[wrong], lng[wrong], res)
     return np.unique(ids)
+
+
+#: approximate cell pitch (hex width) in degrees by resolution — used to
+#: choose polyfill sampling density (res 7 ≈ 2.4 km)
+PITCH_DEG = {5: 0.16, 6: 0.06, 7: 0.022, 8: 0.008}
+
+
+def polyfill_convex(poly_lonlat: np.ndarray, res: int = 7) -> np.ndarray:
+    """Candidate cells intersecting a CONVEX polygon ((n,2) lon/lat).
+
+    Approximate polyfill: grid-sample the bbox at 0.45× cell pitch +
+    polygon vertices → latlng_to_cell, close with the 7-neighborhood of
+    every sampled cell (axial ±1, vectorized), keep only CANONICAL ids
+    (face-seam re-encodings round-trip filtered, same fixup as k_ring).
+    The result is a superset near edges — callers that need exact
+    membership clip against cell_boundary (operators/footprint.py) or
+    verify point-in-cell.  Sliver cells below sampling resolution with
+    no sampled neighbor can be missed (documented tolerance)."""
+    poly = np.asarray(poly_lonlat, dtype=np.float64)
+    step = PITCH_DEG[res] * 0.45
+    # sample 2 pitches beyond the bbox: a hex incircle (~0.9 pitch) always
+    # contains a grid point at 0.45-pitch spacing, so every intersecting
+    # cell gets a DIRECT (hence canonical) sample — closure then only
+    # adds safety margin and cannot miss cells across icosahedron seams
+    # (bbox-edge slivers otherwise rely on face-local closure, which
+    # cannot reach a cell whose canonical home is the adjacent face).
+    m = 2.0 * PITCH_DEG[res]
+    lon_s = np.arange(poly[:, 0].min() - m, poly[:, 0].max() + m + step, step)
+    lat_s = np.arange(poly[:, 1].min() - m, poly[:, 1].max() + m + step, step)
+    gg = np.meshgrid(lat_s, lon_s)
+    slat = np.concatenate([gg[0].ravel(), poly[:, 1]])
+    slon = np.concatenate([gg[1].ravel(), poly[:, 0]])
+    sampled = np.unique(latlng_to_cell(slat, slon, res))
+    _, face, ci, cj = cell_to_local(sampled)
+    offs = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1)])
+    ii = (ci[:, None] + offs[None, :, 0]).ravel()
+    jj = (cj[:, None] + offs[None, :, 1]).ravel()
+    ff = np.repeat(face, len(offs))
+    extra = np.unique(local_to_cell(ff, ii, jj, res))
+    # liveness semantics: DIRECT samples are valid ids by construction
+    # (they came out of latlng_to_cell) — near an icosahedron seam a
+    # live cell's CENTER can fall on the neighboring face's side, so a
+    # center-round-trip test must not be applied to them.  Closure
+    # extras (never witnessed by a point) do get the round-trip filter,
+    # which drops face-local re-encodings of the neighbor face's cells.
+    el, eg = cell_to_latlng(extra)
+    extra = extra[latlng_to_cell(el, eg, res) == extra]
+    return np.unique(np.concatenate([sampled, extra]))

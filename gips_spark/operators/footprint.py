@@ -42,9 +42,6 @@ from pyspark.sql import types as T
 from gips_spark.functions import h3lite
 from gips_spark.functions.geom import clip_convex, ring_area_m2, sinusoidal_xy
 
-#: approximate res-7 cell pitch in degrees (hex width ~2.4 km)
-_PITCH_DEG = {7: 0.022}
-
 _WKT_RE = re.compile(r"POLYGON\s*\(\(([^)]*)\)\)")
 
 COVER_SCHEMA = T.StructType(
@@ -87,27 +84,14 @@ def _cover_one(wkt: str, res: int) -> list[tuple]:
     ) < 0:
         quad = quad[::-1]
     a_fp = ring_area_m2(quad[:, 0], quad[:, 1])
-    step = _PITCH_DEG[res] * 0.45
-    lon_s = np.arange(quad[:, 0].min(), quad[:, 0].max() + step, step)
-    lat_s = np.arange(quad[:, 1].min(), quad[:, 1].max() + step, step)
-    gg = np.meshgrid(lat_s, lon_s)
-    slat = np.concatenate([gg[0].ravel(), quad[:, 1]])
-    slon = np.concatenate([gg[1].ravel(), quad[:, 0]])
-    sampled = np.unique(h3lite.latlng_to_cell(slat, slon, res))
-    # 7-neighborhood closure in axial space (vectorized; face-interior)
-    _, face, ci, cj = h3lite.cell_to_local(sampled)
-    offs = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1)])
-    ii = (ci[:, None] + offs[None, :, 0]).ravel()
-    jj = (cj[:, None] + offs[None, :, 1]).ravel()
-    ff = np.repeat(face, len(offs))
-    cells = np.unique(h3lite.local_to_cell(ff, ii, jj, res))
-    # canonical filter: near an icosahedron-edge seam the closure can
-    # re-encode a neighbor on THIS face whose canonical home is the
-    # adjacent face — a duplicate hexagon under a different id that
-    # double-counts area.  Keep only ids that round-trip (same fixup as
-    # h3lite.k_ring).  Residual seam effect: full hexagons are used
-    # rather than hexagon∩face-region, so pcov sums within ~0.5% near
-    # seams (exact in face interiors) — documented v1 tolerance.
+    # approximate polyfill (h3lite.polyfill_convex), then the STRICT
+    # center-round-trip filter for AREA accounting: near an icosahedron
+    # seam both face-side ids can be live for overlapping hexagons;
+    # counting full hexagons for both double-counts the seam strip, so
+    # area keeps only center-canonical cells.  Residual seam effect:
+    # pcov sums within ~0.5% near seams (exact in face interiors) —
+    # documented v1 tolerance.
+    cells = h3lite.polyfill_convex(quad, res)
     cl, cg = h3lite.cell_to_latlng(cells)
     cells = cells[h3lite.latlng_to_cell(cl, cg, res) == cells]
 

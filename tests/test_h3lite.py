@@ -167,3 +167,38 @@ def test_cell_boundary_contains_center():
             if (b[0] - a[0]) * (clat[t] - a[1]) - (b[1] - a[1]) * (clng[t] - a[0]) < 0:
                 ok = False
         assert ok, (clat[t], clng[t])
+
+
+def test_polyfill_convex():
+    """Polyfill: every cell whose center is inside the polygon is found;
+    all returned ids are canonical; clipped coverage is a superset of
+    center-inside cells."""
+    quad = np.array([(2.0, 48.0), (3.0, 48.05), (3.02, 48.6), (2.02, 48.55)])
+    cells = h3lite.polyfill_convex(quad, 7)
+    assert len(cells) > 500
+    # liveness semantics: most cells are center-canonical; live seam
+    # cells (center across a face-Voronoi boundary) are allowed but
+    # must be a small minority in a face-interior-dominated region
+    la, lo = h3lite.cell_to_latlng(cells)
+    canonical = h3lite.latlng_to_cell(la, lo, 7) == cells
+    assert canonical.mean() > 0.95
+    # independent check: dense-sample the polygon interior; every hit
+    # cell must be in the polyfill
+    rng = np.random.default_rng(3)
+    pla = rng.uniform(48.0, 48.6, 30000)
+    plo = rng.uniform(2.0, 3.02, 30000)
+    q = quad
+    ins = np.ones(pla.shape, bool)
+    for e in range(len(q)):
+        a, b = q[e], q[(e + 1) % len(q)]
+        ins &= (b[0] - a[0]) * (pla - a[1]) - (b[1] - a[1]) * (plo - a[0]) >= 0
+    hit = np.unique(h3lite.latlng_to_cell(pla[ins], plo[ins], 7))
+    missing = hit[~np.isin(hit, cells)]
+    # documented tolerance: the only permissible misses are face-seam
+    # SLIVER cells — ids whose center re-encodes on the adjacent face
+    # (live region = hexagon ∩ face side, thinner than the sampling
+    # grid).  They must be rare and every one must be such a sliver.
+    assert len(missing) <= 0.02 * len(hit), len(missing)
+    if len(missing):
+        ml, mg = h3lite.cell_to_latlng(missing)
+        assert (h3lite.latlng_to_cell(ml, mg, 7) != missing).all()
