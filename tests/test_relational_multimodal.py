@@ -184,3 +184,35 @@ def test_streaming_cell_counts(spark, pages, tmp_path):
     # and the un-emitted remainder is exactly the open-window tail
     total = res.agg(F.sum("n_pages")).first()[0]
     assert 0 < total <= batch.count()
+
+
+def test_streaming_session_windows(spark, pages, tmp_path):
+    """§2.9 session windows: streamed gap-sessions (session_window +
+    watermark, append mode) agree with the batch session_window result
+    for every emitted session."""
+    from gips_spark.streaming import ingest
+
+    in_path = str(tmp_path / "sw_in")
+    pages.limit(800).write.parquet(in_path)
+    out_path = str(tmp_path / "sw_out")
+    ingest.run_sessions_available_now(
+        spark, in_path, out_path, str(tmp_path / "sw_ck"), gap="2 days"
+    )
+    res = spark.read.parquet(out_path)
+    assert res.count() > 0
+
+    batch = (
+        spark.read.parquet(in_path)
+        .groupBy(F.session_window(F.col("warc_ts"), "2 days").alias("w"), F.col("url"))
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "url",
+            "n_true",
+        )
+    )
+    j = res.join(batch, ["session_start", "session_end", "url"], "left")
+    assert j.where(
+        F.col("n_true").isNull() | (F.col("n_true") != F.col("n_crawls"))
+    ).count() == 0
