@@ -609,6 +609,50 @@ def _q_session_windows(spark, sf_dir):
     )
 
 
+def _q_range_frame(spark, sf_dir):
+    """W4 — RANGE window frame: 7-day trailing order count per customer."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP) "
+            "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+        ).cast("bigint").alias("n_7d"),
+    )
+
+
+def _q_grouping_sets(spark, sf_dir):
+    """A7 — explicit GROUPING SETS (beyond rollup/cube) + grouping()."""
+    li = _read(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+def _q_lag_lead(spark, sf_dir):
+    """W3 — lag/lead/first_value navigation per customer order history."""
+    orders = _read(spark, sf_dir, "orders")
+    w = "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+    return orders.select(
+        "o_orderkey",
+        F.expr(f"lag(o_orderkey, 1) OVER ({w})").alias("prev_key"),
+        F.expr(f"lead(o_orderkey, 1) OVER ({w})").alias("next_key"),
+        F.expr(f"first_value(o_orderkey) OVER ({w})").alias("first_key"),
+        F.expr(
+            f"datediff(o_orderdate, lag(o_orderdate, 1) OVER ({w}))"
+        ).cast("int").alias("days_since_prev"),
+    )
+
+
 #: deterministic synthetic QA word (identical expression both engines)
 _QA_EXPR = "CAST(floor(abs(value) * CAST(100000 AS DOUBLE)) AS BIGINT) % 65536"
 
@@ -646,6 +690,22 @@ def _q_footprint_cover(spark, sf_dir):
         F.round("a_m2", 2).alias("a_m2"),
         F.round("pcov", 6).alias("pcov"),
         F.round("ptile", 6).alias("ptile"),
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate CLUSTERS via distributed connected
+    components (min-label propagation); component = canonical doc id.
+    Oracle: recursive-CTE transitive closure over the same (frozen,
+    deterministic) minhash pair set."""
+    from gips_spark.operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
     )
 
 
@@ -702,7 +762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_1995": _q_semi_join,
         "except_custkeys": _q_except_op,
         "session_windows": _q_session_windows,
+        "range_frame_7d": _q_range_frame,
+        "grouping_sets": _q_grouping_sets,
+        "lag_lead_nav": _q_lag_lead,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
     }
 
@@ -1010,6 +1074,49 @@ def oracle_sql() -> dict[str, str]:
             " CAST(hamming AS INT) AS hamming FROM (VALUES "
             + ",".join(f"({a},{b},{h})" for a, b, h in _SIMHASH_PIN)
             + ") t(id_a, id_b, hamming)"
+        ),
+        "range_frame_7d": """
+            SELECT o_orderkey,
+                   CAST(count(*) OVER (PARTITION BY o_custkey
+                        ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                        RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_7d
+            FROM orders
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status,
+                   count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                    (l_returnflag, l_linestatus))
+        """,
+        "lag_lead_nav": """
+            SELECT o_orderkey,
+                   lag(o_orderkey, 1) OVER w AS prev_key,
+                   lead(o_orderkey, 1) OVER w AS next_key,
+                   first_value(o_orderkey) OVER w AS first_key,
+                   CAST(datediff('day', lag(o_orderdate, 1) OVER w,
+                                 o_orderdate) AS INT) AS days_since_prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        # dedup_clusters: exact transitive closure (recursive CTE) over
+        # the SAME deterministic pair set (the frozen minhash pins —
+        # the pairs themselves are hash-family-defined, but clustering
+        # them is pure graph math, independently recomputed here).
+        "dedup_clusters": (
+            "WITH RECURSIVE edges(a, b) AS (SELECT * FROM (VALUES "
+            + ",".join(
+                f"({a},{b}),({b},{a})" for a, b, _ in _MINHASH_PIN
+            )
+            + ") t(a, b)), r(id, comp) AS ("
+            "SELECT a, a FROM edges UNION "
+            "SELECT e.a, r.comp FROM edges e JOIN r ON e.b = r.id) "
+            "SELECT CAST(id AS BIGINT) AS doc_id, "
+            "CAST(min(comp) AS BIGINT) AS component FROM r GROUP BY 1"
         ),
         # cell_counts_h3: intentionally no oracle (engine-canonical h3
         # ids have no in-sandbox ground truth) — rows-only check.

@@ -376,3 +376,53 @@ def embedding_dedup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Near-dup pairs → clusters: (id, component) with component = the
+    minimum id reachable through the pair graph (the canonical doc of
+    each duplicate cluster — what a dedup pipeline keeps).
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the min; converges in O(graph diameter) rounds — duplicate
+    clusters are near-cliques from banded LSH, so diameter is tiny.
+    `localCheckpoint` truncates the plan each round (iterative joins
+    otherwise stack lineage).  Scale shape: each round is ONE shuffle
+    join on the edge list; for adversarial long-chain graphs swap in
+    the large-star/small-star variant — the public alternating
+    algorithm — behind the same signature.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("comp"))
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

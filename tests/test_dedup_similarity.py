@@ -129,3 +129,40 @@ def test_embedding_dedup_and_topk(spark):
     ).toPandas()
     # probing all centroids → exact
     assert ivf.sort_values("rank")["id"].tolist() == want.tolist()
+
+
+def test_connected_components_vs_bruteforce(spark):
+    """CC over a pair graph == transitive closure (python union-find)."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4),           # chain → comp 1
+        (10, 11), (11, 12), (10, 12),     # triangle → comp 10
+        (20, 21),                         # pair → comp 20
+        (30, 31), (31, 32), (30, 33), (33, 34),  # star-ish → comp 30
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(df).collect()
+    }
+
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # canonicalize oracle roots to min-of-component
+    comps = {}
+    for x, r in want.items():
+        comps.setdefault(find(r), []).append(x)
+    want = {x: min(members) for root, members in comps.items() for x in members}
+    assert got == want
