@@ -1,17 +1,26 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as `binary` columns with a metadata struct;
-decode / feature-extract / resize / frame-sample run as Arrow kernels
-over mapInPandas.  The image/audio codecs are NOT in this container, so
-the decode step is a clearly-marked deterministic STUB (hash-seeded
-fake pixels) behind the same signature a real decoder would have — the
-Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
-is real and tested.  Swap `_decode_stub` for a PIL/ffmpeg call on a
-real cluster.
+decode / frame-sample / resize / feature-extract run as Arrow kernels
+over mapInPandas.
+
+Round 2: the decode step is REAL for the engine's own raw container
+format (GIPS-RAW, below) — a header-checked binary codec, true
+bilinear resampling, and per-frame addressing, all numpy.  External
+codecs (JPEG/PNG/ffmpeg) are NOT in this container, so foreign
+payloads fall back to the clearly-marked deterministic stub (or raise,
+via decode="raw").  A PIL/av call drops into `_decode_any` unchanged
+on a real cluster.
+
+GIPS-RAW layout (little-endian):
+    magic  4s   b"GR01"
+    width  u16 | height u16 | n_frames u16 | channels u8 | pad u8
+    pixels u8 × (n_frames · height · width · channels), frame-major
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -40,15 +49,65 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+_MAGIC = b"GR01"
+_HEADER = struct.Struct("<4sHHHBB")
+
 REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
 
 
-def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder: deterministic fake pixels seeded by the payload hash.
+# ------------------------------------------------------------- raw codec
 
-    A real decoder (PIL.Image.open / av) drops in here unchanged; raise
-    if callers explicitly require real decoding.
-    """
+
+def encode_gips_raw(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w) or (h, w) uint8 → GIPS-RAW bytes."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[None, :, :]
+    n, h, w = a.shape
+    return _HEADER.pack(_MAGIC, w, h, n, 1, 0) + a.tobytes()
+
+
+def decode_gips_raw(payload: bytes) -> np.ndarray:
+    """GIPS-RAW bytes → (n_frames, h, w) float64 in [0, 1].
+
+    Raises ValueError on bad magic / truncated payload — a REAL decoder
+    contract (header validation, exact length check)."""
+    buf = bytes(payload)
+    if len(buf) < _HEADER.size:
+        raise ValueError("GIPS-RAW: truncated header")
+    magic, w, h, n, ch, _ = _HEADER.unpack_from(buf)
+    if magic != _MAGIC:
+        raise ValueError("GIPS-RAW: bad magic")
+    need = _HEADER.size + n * h * w * ch
+    if len(buf) != need:
+        raise ValueError(f"GIPS-RAW: expected {need} bytes, got {len(buf)}")
+    a = np.frombuffer(buf, dtype=np.uint8, offset=_HEADER.size)
+    return a.reshape(n, h, w).astype(np.float64) / 255.0
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """True bilinear resampling (align-corners=False convention)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------- fallback
+
+
+def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder for FOREIGN payloads (e.g. real JPEG bytes, no codec
+    in-container): deterministic fake pixels seeded by the payload hash.
+    Clearly marked; swap for PIL/av on a real cluster."""
     h = np.uint64(0xCBF29CE484222325)
     for b in payload[:64]:
         h ^= np.uint64(b)
@@ -59,61 +118,89 @@ def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def decode_or_raise(*_a, **_k):
     raise NotImplementedError(
-        "real image/audio decoding requires PIL/ffmpeg (not in this "
-        "container); use the deterministic stub path (extract_features)"
+        "external image/audio codecs (PIL/ffmpeg) are not in this "
+        "container; GIPS-RAW payloads decode for real (decode_gips_raw), "
+        "foreign formats need the stub path"
     )
 
 
+def _decode_any(payload: bytes, width: int, height: int, frame: int) -> np.ndarray:
+    """One frame as (h, w) float64: real GIPS-RAW decode when the magic
+    matches, deterministic stub otherwise (frame folded into the seed)."""
+    buf = bytes(payload)
+    if buf[:4] == _MAGIC:
+        return decode_gips_raw(buf)[frame]
+    return _decode_stub(buf + bytes([frame & 0xFF]), width, height)
+
+
+# ---------------------------------------------------------------- fixtures
+
+
 def make_assets(spark, n: int = 64) -> DataFrame:
-    """Synthetic multimodal asset table (binary payload from xxhash bytes)."""
+    """Synthetic multimodal asset table with REAL GIPS-RAW payloads:
+    deterministic per-frame gradient+phase patterns, encoded by the real
+    codec (pandas-UDF encoder, Arrow batch)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(asset_id: pd.Series, n_frames: pd.Series) -> pd.Series:
+        out = []
+        for aid, nf in zip(asset_id.astype(str), n_frames.astype(int)):
+            seed = sum(aid.encode()) % 251
+            yy, xx = np.mgrid[0:16, 0:16]
+            frames = np.stack(
+                [
+                    ((xx * (seed + 1) + yy * (fr + 2) + seed * fr) % 256)
+                    for fr in range(nf)
+                ]
+            ).astype(np.uint8)
+            out.append(encode_gips_raw(frames))
+        return pd.Series(out)
+
     idc = F.col("id")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(idc, F.lit(3)) + 1).cast("int"),
     )
-    payload = F.encode(
-        F.concat(F.lit("payload-"), F.sha2(idc.cast("string"), 256)), "utf-8"
-    ).cast("binary")
-    return spark.range(n).select(
+    base = spark.range(n).select(
         F.concat(F.lit("A"), idc.cast("string")).alias("asset_id"),
         kind.alias("kind"),
-        payload.alias("payload"),
         F.lit(16).alias("width"),
         F.lit(16).alias("height"),
         F.when(kind == "video", F.lit(8)).otherwise(F.lit(1)).alias("n_frames"),
     )
+    return base.withColumn(
+        "payload", enc(F.col("asset_id"), F.col("n_frames"))
+    ).select("asset_id", "kind", "payload", "width", "height", "n_frames")
+
+
+# ---------------------------------------------------------------- operator
 
 
 def extract_features(
     assets: DataFrame, resize_to: int = 8, sample_every: int = 2
 ) -> DataFrame:
-    """decode → frame-sample → resize → mean-pool features, one Arrow pass.
-
-    Batch shape: mapInPandas over asset rows; per row: n_frames/sample
-    feature rows.  Real pipelines swap `_decode_stub` only.
-    """
+    """decode → frame-sample → bilinear resize → feature vector, one
+    Arrow pass (mapInPandas over asset rows; per row: one output row per
+    sampled frame).  Features = resized pixels + [mean, std] tail."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for _, r in pdf.iterrows():
-                frames = range(0, int(r["n_frames"]), sample_every)
-                for fr in frames:
-                    img = _decode_stub(
-                        bytes(r["payload"]) + bytes([fr]), int(r["width"]), int(r["height"])
+            for r in pdf.itertuples(index=False):
+                for fr in range(0, int(r.n_frames), sample_every):
+                    img = _decode_any(
+                        r.payload, int(r.width), int(r.height), fr
                     )
-                    # block-mean resize to (resize_to, resize_to)
-                    bh = img.shape[0] // resize_to
-                    bw = img.shape[1] // resize_to
-                    small = img[: bh * resize_to, : bw * resize_to].reshape(
-                        resize_to, bh, resize_to, bw
-                    ).mean(axis=(1, 3))
+                    small = bilinear_resize(img, resize_to, resize_to)
+                    feats = np.concatenate(
+                        [small.ravel(), [img.mean(), img.std()]]
+                    ).astype(np.float32)
                     out.append(
                         {
-                            "asset_id": r["asset_id"],
-                            "kind": r["kind"],
+                            "asset_id": r.asset_id,
+                            "kind": r.kind,
                             "frame": fr,
-                            "features": small.ravel().astype(np.float32).tolist(),
+                            "features": feats.tolist(),
                         }
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])

@@ -110,7 +110,7 @@ def test_multimodal_plumbing(spark):
     per_kind = pdf.groupby("kind")["asset_id"].nunique()
     rows_video = len(pdf[pdf["kind"] == "video"]) / per_kind["video"]
     assert rows_video == 4
-    assert all(len(f) == 16 for f in pdf["features"])
+    assert all(len(f) == 18 for f in pdf["features"])  # 4x4 + mean,std
     # determinism
     pdf2 = multimodal.extract_features(assets, resize_to=4, sample_every=2).toPandas()
     a = pdf.sort_values(["asset_id", "frame"]).reset_index(drop=True)
@@ -216,3 +216,56 @@ def test_streaming_session_windows(spark, pages, tmp_path):
     assert j.where(
         F.col("n_true").isNull() | (F.col("n_true") != F.col("n_crawls"))
     ).count() == 0
+
+
+def test_gips_raw_codec_and_resize():
+    """REAL decode path: codec round-trips exactly; bilinear resize
+    preserves linear ramps (the defining property) and the identity."""
+    import pytest
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (3, 16, 16), dtype=np.uint8)
+    payload = multimodal.encode_gips_raw(frames)
+    back = multimodal.decode_gips_raw(payload)
+    assert back.shape == (3, 16, 16)
+    assert np.array_equal((back * 255.0).round().astype(np.uint8), frames)
+
+    # header validation is real
+    with pytest.raises(ValueError):
+        multimodal.decode_gips_raw(b"JPEG" + payload[4:])
+    with pytest.raises(ValueError):
+        multimodal.decode_gips_raw(payload[:-1])
+
+    # bilinear on a linear ramp is exact (up to fp), identity is exact
+    yy, xx = np.mgrid[0:16, 0:16]
+    ramp = (2.0 * xx + 3.0 * yy) / 100.0
+    up = multimodal.bilinear_resize(ramp, 32, 32)
+    yy2, xx2 = np.mgrid[0:32, 0:32]
+    # sample positions of the output grid in input coords
+    ys = (yy2 + 0.5) * 16 / 32 - 0.5
+    xs = (xx2 + 0.5) * 16 / 32 - 0.5
+    want = (2.0 * np.clip(xs, 0, 15) + 3.0 * np.clip(ys, 0, 15)) / 100.0
+    assert np.allclose(up, want, atol=1e-12)
+    assert np.allclose(multimodal.bilinear_resize(ramp, 16, 16), ramp, atol=1e-12)
+
+
+def test_multimodal_features_match_numpy_reference(spark):
+    """End-to-end: Spark features over REAL payloads == driver-side
+    numpy reference (decode → sample → resize → concat)."""
+    assets = multimodal.make_assets(spark, 12)
+    rows = assets.collect()
+    got = {
+        (r["asset_id"], r["frame"]): np.array(r["features"])
+        for r in multimodal.extract_features(
+            assets, resize_to=4, sample_every=3
+        ).collect()
+    }
+    for r in rows:
+        frames = multimodal.decode_gips_raw(bytes(r["payload"]))
+        for fr in range(0, r["n_frames"], 3):
+            img = frames[fr]
+            small = multimodal.bilinear_resize(img, 4, 4)
+            want = np.concatenate([small.ravel(), [img.mean(), img.std()]]).astype(
+                np.float32
+            )
+            assert np.array_equal(got[(r["asset_id"], fr)], want)
