@@ -92,6 +92,31 @@ def build_coarse_directory(directory: DataFrame, cell_col: str = "h3_7") -> Data
     )
 
 
+def _disk_bounds(coarse_pdf: pd.DataFrame):
+    """Per-prefix enclosing-disk (center, radius): rect ⊆ cap(c, r) with
+    r = max haversine from the bbox center to its corners + edge
+    midpoints.  Triangle inequality gives VALID bounds
+    d(q,c)−r ≤ min d(q, rect), max d(q, rect) ≤ d(q,c)+r — loose where
+    the bbox wraps, never wrong.  Precomputed once; the per-query cost
+    is then a single broadcast haversine matrix instead of the rigorous
+    meridian-extremum bounds (those stay at the FINE level, so the
+    final closure radius — hence exactness — is unchanged)."""
+    la1 = coarse_pdf["min_lat"].to_numpy()
+    la2 = coarse_pdf["max_lat"].to_numpy()
+    lo1 = coarse_pdf["min_lon"].to_numpy()
+    lo2 = coarse_pdf["max_lon"].to_numpy()
+    cla = (la1 + la2) / 2.0
+    clo = (lo1 + lo2) / 2.0
+    pts = [
+        (la1, lo1), (la1, lo2), (la2, lo1), (la2, lo2),
+        (la1, clo), (la2, clo), (cla, lo1), (cla, lo2),
+    ]
+    r = np.zeros(len(coarse_pdf))
+    for pla, plo in pts:
+        r = np.maximum(r, haversine_m(cla, clo, pla, plo))
+    return cla, clo, r
+
+
 def _two_level_candidates(
     spark, directory: DataFrame, queries_pdf: pd.DataFrame
 ) -> tuple[pd.DataFrame, dict]:
@@ -100,15 +125,49 @@ def _two_level_candidates(
     coarse_pdf = build_coarse_directory(directory).toPandas()
     c_n = coarse_pdf["n_rows"].to_numpy()
     c_ids = coarse_pdf["prefix"].to_numpy()
+    cla, clo, crad = _disk_bounds(coarse_pdf)
+
+    # one (n_queries × n_prefixes) haversine matrix for every query
+    q_lat = queries_pdf["lat"].to_numpy(dtype=np.float64)
+    q_lon = queries_pdf["lon"].to_numpy(dtype=np.float64)
+    dqc = haversine_m(q_lat[:, None], q_lon[:, None], cla[None, :], clo[None, :])
+    lb_all = np.maximum(dqc - crad[None, :], 0.0)
+    ub_all = dqc + crad[None, :]
 
     surviving: dict[object, np.ndarray] = {}
     d_coarse: dict[object, float] = {}
     union: set[int] = set()
-    for _, q in queries_pdf.iterrows():
+    for qi, (_, q) in enumerate(queries_pdf.iterrows()):
         qla, qlo, k = float(q["lat"]), float(q["lon"]), int(q["k"])
-        lb, ub = _rect_bounds(coarse_pdf, qla, qlo)
-        dc = _covering_radius(lb, ub, c_n, k)
-        keep = c_ids[lb <= dc]
+        lb_d = lb_all[qi]
+        # (1) k-covering selected by disk-UB order: a set of prefixes
+        # whose EVERY point lies within the last taken disk-ub, holding
+        # ≥k rows.  Ordering by ub (not lb) dodges prefixes whose bbox
+        # straddles the antimeridian/pole (disk-lb 0 but genuinely
+        # half-earth extent — selecting those would blow D up to
+        # 20,000 km and keep everything).  D is then tightened with the
+        # rigorous upper bound on just the covering set.
+        order = np.argsort(ub_all[qi], kind="stable")
+        cum = np.cumsum(c_n[order])
+        take = min(int(np.searchsorted(cum, k) + 1), len(order))
+        idx0 = order[:take]
+        sub0 = coarse_pdf.iloc[idx0]
+        ub0 = sphere_max_dist_to_rect_m(
+            qla, qlo,
+            sub0["min_lat"].to_numpy(), sub0["max_lat"].to_numpy(),
+            sub0["min_lon"].to_numpy(), sub0["max_lon"].to_numpy(),
+        )
+        dc = float(ub0.max()) + _EPS_M if take else 0.0
+        # (2) disk-lb shortlist (valid superset: disk-lb ≤ true lb),
+        # then rigorous lb re-filter on the shortlist only.
+        short = np.where(lb_d <= dc)[0]
+        subs = coarse_pdf.iloc[short]
+        lb_rig = sphere_min_dist_to_rect_m(
+            qla, qlo,
+            subs["min_lat"].to_numpy(), subs["max_lat"].to_numpy(),
+            subs["min_lon"].to_numpy(), subs["max_lon"].to_numpy(),
+        )
+        keep = c_ids[short][lb_rig <= dc]
         surviving[q["query_id"]] = keep
         d_coarse[q["query_id"]] = dc
         union.update(int(p) for p in keep)
