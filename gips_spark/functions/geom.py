@@ -173,10 +173,11 @@ def sphere_min_dist_to_rect_m(q_lat, q_lon, lat1, lat2, lon1, lon2):
     exact segment minimum via the A·sinφ+B·cosφ extremum; parallel-edge
     interiors can never be closer when q_lon is outside the span
     (distance along a parallel is monotone in |Δλ|).  Vectorized over
-    rects; scalar query.
+    rects; query may be a scalar (one query vs all rects) or an array
+    broadcasting with the rect arrays (element-wise / outer forms).
     """
-    q_lat = float(q_lat)
-    q_lon = float(q_lon)
+    q_lat = np.asarray(q_lat, dtype=np.float64)
+    q_lon = np.asarray(q_lon, dtype=np.float64)
     lat1_r = np.radians(np.asarray(lat1, dtype=np.float64))
     lat2_r = np.radians(np.asarray(lat2, dtype=np.float64))
     lon1 = np.asarray(lon1, dtype=np.float64)
@@ -209,9 +210,12 @@ def sphere_min_dist_to_rect_m(q_lat, q_lon, lat1, lat2, lon1, lon2):
 
 def sphere_max_dist_to_rect_m(q_lat, q_lon, lat1, lat2, lon1, lon2):
     """EXACT spherical max distance (m) from a point to a lat/lon rect,
-    via the antipode identity: max d(P, x) = πR − min d(P̄, x)."""
-    anti_lat = -float(q_lat)
-    anti_lon = float(q_lon) - 180.0 if q_lon >= 0 else float(q_lon) + 180.0
+    via the antipode identity: max d(P, x) = πR − min d(P̄, x).
+    Query may be scalar or an array broadcasting with the rects."""
+    q_lat = np.asarray(q_lat, dtype=np.float64)
+    q_lon = np.asarray(q_lon, dtype=np.float64)
+    anti_lat = -q_lat
+    anti_lon = np.where(q_lon >= 0, q_lon - 180.0, q_lon + 180.0)
     dmin = sphere_min_dist_to_rect_m(anti_lat, anti_lon, lat1, lat2, lon1, lon2)
     return np.pi * EARTH_RADIUS_M - dmin
 

@@ -416,6 +416,19 @@ def k_ring(h: int, k: int) -> np.ndarray:
 PITCH_DEG = {5: 0.16, 6: 0.06, 7: 0.022, 8: 0.008}
 
 
+def pitch_deg(res: int) -> float:
+    """Cell pitch for ANY resolution: the tabulated anchor values for
+    5–8, extrapolated by the aperture-7 scale law (×1/√7 per res step)
+    elsewhere — polyfill_convex no longer KeyErrors on a free res
+    (ADVICE r2)."""
+    if res in PITCH_DEG:
+        return PITCH_DEG[res]
+    if not 0 <= res <= 15:
+        raise ValueError(f"h3lite: resolution {res} out of range 0..15")
+    anchor = 7
+    return PITCH_DEG[anchor] * (7.0 ** (-0.5 * (res - anchor)))
+
+
 def polyfill_convex(poly_lonlat: np.ndarray, res: int = 7) -> np.ndarray:
     """Candidate cells intersecting a CONVEX polygon ((n,2) lon/lat).
 
@@ -428,14 +441,14 @@ def polyfill_convex(poly_lonlat: np.ndarray, res: int = 7) -> np.ndarray:
     verify point-in-cell.  Sliver cells below sampling resolution with
     no sampled neighbor can be missed (documented tolerance)."""
     poly = np.asarray(poly_lonlat, dtype=np.float64)
-    step = PITCH_DEG[res] * 0.45
+    step = pitch_deg(res) * 0.45
     # sample 2 pitches beyond the bbox: a hex incircle (~0.9 pitch) always
     # contains a grid point at 0.45-pitch spacing, so every intersecting
     # cell gets a DIRECT (hence canonical) sample — closure then only
     # adds safety margin and cannot miss cells across icosahedron seams
     # (bbox-edge slivers otherwise rely on face-local closure, which
     # cannot reach a cell whose canonical home is the adjacent face).
-    m = 2.0 * PITCH_DEG[res]
+    m = 2.0 * pitch_deg(res)
     lon_s = np.arange(poly[:, 0].min() - m, poly[:, 0].max() + m + step, step)
     lat_s = np.arange(poly[:, 1].min() - m, poly[:, 1].max() + m + step, step)
     gg = np.meshgrid(lat_s, lon_s)

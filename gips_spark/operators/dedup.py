@@ -379,7 +379,7 @@ def embedding_dedup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, check_every: int = 1
 ) -> DataFrame:
     """Near-dup pairs → clusters: (id, component) with component = the
     minimum id reachable through the pair graph (the canonical doc of
@@ -393,6 +393,12 @@ def connected_components(
     join on the edge list; for adversarial long-chain graphs swap in
     the large-star/small-star variant — the public alternating
     algorithm — behind the same signature.
+
+    `check_every` spaces out the convergence `count()` action (one
+    extra Spark job per check — set >1 when diameter is known small
+    but max_iter is generous).  Raises RuntimeError if labels are
+    still changing after max_iter rounds (a path longer than max_iter
+    hops) — unconverged labels are never returned silently (ADVICE r2).
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(
@@ -405,7 +411,8 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    changed = -1
+    for it in range(max_iter):
         prop = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("comp"))
@@ -416,13 +423,21 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — graph has a path longer "
+            "than max_iter hops; raise max_iter or use the "
+            "large-star/small-star variant"
+        )
     return labels

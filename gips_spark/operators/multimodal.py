@@ -78,6 +78,8 @@ def decode_gips_raw(payload: bytes) -> np.ndarray:
     magic, w, h, n, ch, _ = _HEADER.unpack_from(buf)
     if magic != _MAGIC:
         raise ValueError("GIPS-RAW: bad magic")
+    if ch != 1:
+        raise ValueError(f"GIPS-RAW: unsupported channels {ch} (v1 is single-plane)")
     need = _HEADER.size + n * h * w * ch
     if len(buf) != need:
         raise ValueError(f"GIPS-RAW: expected {need} bytes, got {len(buf)}")

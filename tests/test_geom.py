@@ -129,3 +129,65 @@ def test_sphere_rect_bounds_rigorous():
         np.array([-180.0]), np.array([-179.0]),
     )[0]
     assert abs(lb - haversine_m(0.0, 179.5, 0.0, -180.0)) < 2.0
+
+
+def test_disk_bounds_cover_wrapped_bbox():
+    """ADVICE r2 (high): the kNN coarse enclosing-disk radius must be a
+    TRUE enclosing radius for antimeridian-wrapped prefix bboxes —
+    the old 8-sampled-point radius under-covered the exact case below
+    by ~23.8 km (farthest rect point interior to a meridian edge)."""
+    import pandas as pd
+
+    from gips_spark.functions.geom import haversine_m
+    from gips_spark.operators.knn import _disk_bounds
+
+    cases = pd.DataFrame(
+        {
+            "min_lat": [-1.47, -5.0, 80.0, -0.5],
+            "max_lat": [0.79, 5.0, 89.9, 0.5],
+            "min_lon": [-179.86, -180.0, -180.0, -179.99],
+            "max_lon": [179.42, 180.0, 180.0, 179.99],
+        }
+    )
+    cla, clo, r = _disk_bounds(cases)
+    gs = 400
+    for i in range(len(cases)):
+        gg = np.meshgrid(
+            np.linspace(cases.min_lat[i], cases.max_lat[i], gs),
+            np.linspace(cases.min_lon[i], cases.max_lon[i], gs),
+        )
+        d = haversine_m(cla[i], clo[i], gg[0].ravel(), gg[1].ravel())
+        assert r[i] >= d.max() - 1.0, (i, r[i], d.max())
+
+
+def test_rect_bounds_elementwise_query_arrays():
+    """sphere_min/max_dist_to_rect_m accept per-row query arrays
+    (element-wise with the rect arrays) and equal the scalar path."""
+    from gips_spark.functions.geom import (
+        sphere_max_dist_to_rect_m,
+        sphere_min_dist_to_rect_m,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 50
+    qla = rng.uniform(-89, 89, n)
+    qlo = rng.uniform(-180, 180, n)
+    la1 = rng.uniform(-89, 80, n)
+    la2 = la1 + rng.uniform(0.01, 9, n)
+    lo1 = rng.uniform(-180, 170, n)
+    lo2 = lo1 + rng.uniform(0.01, 9, n)
+    lb_vec = sphere_min_dist_to_rect_m(qla, qlo, la1, la2, lo1, lo2)
+    ub_vec = sphere_max_dist_to_rect_m(qla, qlo, la1, la2, lo1, lo2)
+    for i in range(n):
+        lb_i = sphere_min_dist_to_rect_m(
+            qla[i], qlo[i],
+            np.array([la1[i]]), np.array([la2[i]]),
+            np.array([lo1[i]]), np.array([lo2[i]]),
+        )[0]
+        ub_i = sphere_max_dist_to_rect_m(
+            qla[i], qlo[i],
+            np.array([la1[i]]), np.array([la2[i]]),
+            np.array([lo1[i]]), np.array([lo2[i]]),
+        )[0]
+        assert abs(lb_vec[i] - lb_i) < 1e-6
+        assert abs(ub_vec[i] - ub_i) < 1e-6
