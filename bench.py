@@ -43,6 +43,20 @@ def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _best_of(fn, trials: int = 2) -> list[float]:
+    """Run fn() `trials` times, return all wall times.  The host has
+    documented 20× run-to-run variance windows (BENCH/BASELINE.md);
+    noise only ADDS time, so min-of-N is the least biased single-line
+    estimate (VERDICT r2 #2: best-of-2 on EVERY stage, not just
+    assign).  All trials are reported in the JSON."""
+    ts = []
+    for _ in range(trials):
+        t0 = time.monotonic()
+        fn()
+        ts.append(time.monotonic() - t0)
+    return ts
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -80,41 +94,47 @@ def main():
     enr_out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "enr_out"
     )
-    # best-of-2: the host has documented 20x run-to-run variance windows
-    # (BENCH/BASELINE.md); noise only ADDS time, so min-of-2 is the least
-    # biased single-line estimate.  BOTH trials are reported in the JSON.
     pages = spark.read.parquet(cache_dir)
-    assign_trials = []
-    for _ in range(2):
+    trials: dict[str, list[float]] = {}
+
+    def _assign_once():
         spark.catalog.clearCache()
-        t0 = time.monotonic()
         tile_assign.enrich_pages(
             pages, salt_target_rows=max(1000, n_rows // 200), salt_sample=0.02
         ).drop("extracted_text").write.mode("overwrite").parquet(enr_out)
-        assign_trials.append(time.monotonic() - t0)
-    timings["assign"] = min(assign_trials)
+
+    trials["assign"] = _best_of(_assign_once)
 
     enr = spark.read.parquet(enr_out).persist()
     n_enr = enr.count()
 
     extents = fixtures.gen_extents(spark)
-    t0 = time.monotonic()
-    directory = cell_directory.build_cell_directory(enr).persist()
-    directory.count()
-    timings["directory"] = time.monotonic() - t0
+    # directory best-of-2: rebuild fresh each trial (unpersist between —
+    # Spark would otherwise serve trial 2 from trial 1's cache, the
+    # logical-plan cache-match trap)
+    directory = None
+    dir_trials = []
+    for i in range(2):
+        if directory is not None:
+            directory.unpersist()
+        d = cell_directory.build_cell_directory(enr)
+        t0 = time.monotonic()
+        d.persist()
+        d.count()
+        dir_trials.append(time.monotonic() - t0)
+        directory = d
+    trials["directory"] = dir_trials
 
     # b) point-in-polygon join (cell-cover scale plan)
-    t0 = time.monotonic()
-    pairs = pip_join.pip_join_cells(spark, enr, extents, directory)
-    _materialize(pairs)
-    timings["pip"] = time.monotonic() - t0
+    trials["pip"] = _best_of(
+        lambda: _materialize(pip_join.pip_join_cells(spark, enr, extents, directory))
+    )
 
     # c) exact kNN, 100 queries
     queries = fixtures.gen_knn_queries(spark)
-    t0 = time.monotonic()
-    res = knn.knn_join(spark, enr, queries, directory)
-    _materialize(res)
-    timings["knn"] = time.monotonic() - t0
+    trials["knn"] = _best_of(
+        lambda: _materialize(knn.knn_join(spark, enr, queries, directory))
+    )
 
     # d) zonal: products + stats over extents (raster fixture pre-cached —
     # measure the operator, not the driver-side synthesis)
@@ -125,12 +145,15 @@ def main():
         fixtures.gen_raster_chunks(spark, n_scenes=60).write.mode(
             "overwrite"
         ).parquet(raster_dir)
-    t0 = time.monotonic()
-    chunks = spark.read.parquet(raster_dir)
-    prod = zonal.compute_products(chunks)
-    zs = zonal.zonal_stats(spark, prod, extents)
-    _materialize(zs)
-    timings["zonal"] = time.monotonic() - t0
+
+    def _zonal_once():
+        chunks = spark.read.parquet(raster_dir)
+        prod = zonal.compute_products(chunks)
+        zs = zonal.zonal_stats(spark, prod, extents)
+        _materialize(zs)
+
+    trials["zonal"] = _best_of(_zonal_once)
+    timings = {k: min(v) for k, v in trials.items()}
 
     skew = saltplan.skew_ratio(
         enr.where(F.col("h3_7").isNotNull()), "h3_7"
@@ -145,7 +168,8 @@ def main():
         "sf": sf,
         "rows": n_enr,
         "assign_rows_per_sec": round(n_enr / timings["assign"], 1),
-        "assign_trials": [round(t, 3) for t in assign_trials],
+        "assign_trials": [round(t, 3) for t in trials["assign"]],
+        "stage_trials": {k: [round(t, 3) for t in v] for k, v in trials.items()},
         "skew_ratio": round(skew, 1),
         "parallelism": cpus,
     }

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from gips_spark.functions import geom, h3lite, s2, textx
+from gips_spark.functions import cellindex, geom, h3lite, s2, textx
 
 H3_RES = 7
 S2_LEVEL = 13
@@ -137,7 +137,7 @@ def extract_and_cells(
     h3 = np.zeros(len(la), dtype=np.int64)
     s2c = np.zeros(len(la), dtype=np.int64)
     if ok.any():
-        h3[ok] = h3lite.latlng_to_cell(la[ok], lo[ok], H3_RES)
+        h3[ok] = cellindex.latlng_to_cell(la[ok], lo[ok], H3_RES)
         s2c[ok] = s2.latlng_to_cell(la[ok], lo[ok], S2_LEVEL)
     return pd.DataFrame(
         {
@@ -170,7 +170,7 @@ def cells_only(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
     h3 = np.zeros(len(la), dtype=np.int64)
     s2c = np.zeros(len(la), dtype=np.int64)
     if ok.any():
-        h3[ok] = h3lite.latlng_to_cell(la[ok], lo[ok], H3_RES)
+        h3[ok] = cellindex.latlng_to_cell(la[ok], lo[ok], H3_RES)
         s2c[ok] = s2.latlng_to_cell(la[ok], lo[ok], S2_LEVEL)
     return pd.DataFrame(
         {"h3_7": _masked_int64(h3, ok), "s2_13": _masked_int64(s2c, ok)}
@@ -191,7 +191,7 @@ def enrich_from_stripped(
     h3 = np.zeros(len(lat), dtype=np.int64)
     s2c = np.zeros(len(lat), dtype=np.int64)
     if ok.any():
-        h3[ok] = h3lite.latlng_to_cell(lat[ok], lon[ok], H3_RES)
+        h3[ok] = cellindex.latlng_to_cell(lat[ok], lon[ok], H3_RES)
         s2c[ok] = s2.latlng_to_cell(lat[ok], lon[ok], S2_LEVEL)
     return pd.DataFrame(
         {
@@ -219,7 +219,7 @@ def enrich_struct(html: pd.Series, url: pd.Series, text: pd.Series) -> pd.DataFr
     h3 = np.zeros(len(lat), dtype=np.int64)
     s2c = np.zeros(len(lat), dtype=np.int64)
     if ok.any():
-        h3[ok] = h3lite.latlng_to_cell(lat[ok], lon[ok], H3_RES)
+        h3[ok] = cellindex.latlng_to_cell(lat[ok], lon[ok], H3_RES)
         s2c[ok] = s2.latlng_to_cell(lat[ok], lon[ok], S2_LEVEL)
     return pd.DataFrame(
         {
@@ -242,7 +242,7 @@ def h3_cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
     ok = ~(np.isnan(la) | np.isnan(lo))
     out = np.zeros(len(la), dtype=np.int64)
     if ok.any():
-        out[ok] = h3lite.latlng_to_cell(la[ok], lo[ok], H3_RES)
+        out[ok] = cellindex.latlng_to_cell(la[ok], lo[ok], H3_RES)
     return _masked_int64(out, ok)
 
 

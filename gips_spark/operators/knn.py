@@ -274,7 +274,7 @@ def _kring_candidates(
     at D_coarse (also a valid ≥k covering radius), so every cell with
     lb ≤ radius has prefix-lb ≤ D_coarse and therefore lies inside the
     surviving slice — exactness never depends on hex-edge geometry."""
-    from gips_spark.functions import h3lite
+    from gips_spark.functions import cellindex
 
     f_ids = slice_pdf["h3_7"].to_numpy()
     f_pref = f_ids >> PREFIX_SHIFT
@@ -289,11 +289,11 @@ def _kring_candidates(
         n_rows = f_n[mine]
         occupied = set(ids.tolist())
         n_by_cell = dict(zip(ids.tolist(), n_rows.tolist()))
-        qcell = int(h3lite.latlng_to_cell(np.array([qla]), np.array([qlo]), 7)[0])
+        qcell = int(cellindex.latlng_to_cell(np.array([qla]), np.array([qlo]), 7)[0])
         r = 0
         ring_cells: list[int] = []
         while r <= 64:
-            ring_cells = [c for c in h3lite.k_ring(qcell, r).tolist() if c in occupied]
+            ring_cells = [c for c in cellindex.k_ring(qcell, r).tolist() if c in occupied]
             if sum(n_by_cell[c] for c in ring_cells) >= k:
                 break
             r += 1

@@ -128,6 +128,13 @@ def main():
         "--mode", choices=["local", "local-cluster"], default="local"
     )
     ap.add_argument(
+        "--cores", type=int, default=8,
+        help="N for the (N, 4N) local-mode pair — the (2,8) in-core regime"
+             " is the honest single-host proxy for multi-machine scaling"
+             " (BENCH/BASELINE.md deployment-shape note); 16M+ rows keep"
+             " the fixed setup cost a≈8.6s under 3%% of t_N",
+    )
+    ap.add_argument(
         "--workload", choices=["text", "cells"], default="text",
         help="text = full extract+assign pipeline; cells = assignment-only"
              " (16 B/row Arrow traffic — isolates the engine's scaling from"
@@ -136,7 +143,8 @@ def main():
     args = ap.parse_args()
 
     if args.mode == "local":
-        masters = [("local[8]", 8), ("local[32]", 32)]
+        n = args.cores
+        masters = [(f"local[{n}]", n), (f"local[{4 * n}]", 4 * n)]
     else:
         masters = [("local-cluster[2,4,3072]", 8), ("local-cluster[8,4,3072]", 32)]
 
@@ -199,7 +207,7 @@ def main():
 
     lines = [
         "",
-        f"## Canary-gated scaling protocol ({args.mode} mode, {args.workload} workload, {rows:,} rows, assign single-pass)",
+        f"## Canary-gated scaling protocol ({args.mode} mode, ({masters[0][1]},{masters[1][1]}) cores, {args.workload} workload, {rows:,} rows, assign single-pass)",
         "",
         "Acceptance rule (pre-registered, scripts/scaling_protocol.py): a",
         "(N, 4N) interleaved pair counts iff all three flanking canary runs",
@@ -227,7 +235,7 @@ def main():
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    with open(os.path.join(REPO, "BENCH", f"scaling_pairs_{args.mode}_{args.workload}.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_pairs_{args.mode}_{args.workload}_{masters[0][1]}x4_{rows}.json"), "w") as f:
         json.dump({"floor": floor, "tol": args.tol, "rows": rows,
                    "pairs": pairs}, f, indent=1)
     print(json.dumps({"floor": floor, "median_eff": med_eff,
