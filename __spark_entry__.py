@@ -40,6 +40,14 @@ _KNN_QUERIES = [
 ]
 _KNN_K = 5
 
+#: frozen regression-pin parquet files for engine-id-defined queries
+#: (scripts/gen_pins.py)
+import os as _os  # noqa: E402
+
+_PIN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "tests", "golden", "pins"
+)
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -727,6 +735,101 @@ def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+#: ACCA synthetic per-event "pixel": TOA reflectances + brightness temp
+#: derived from events.value with shared Spark/DuckDB-safe arithmetic
+#: (floor-division via floor(x/k.0): exact for x < 2^53; literals cast
+#: to DOUBLE — Spark parses bare decimals as DECIMAL)
+_ACCA_X = "CAST(floor(abs(value) * CAST(100000 AS DOUBLE)) AS BIGINT)"
+_ACCA_BANDS = {
+    "green": f"CAST(0.08 AS DOUBLE) + ({_ACCA_X} % 50) / CAST(200 AS DOUBLE)",
+    "red": (
+        f"CAST(0.06 AS DOUBLE) + (CAST(floor({_ACCA_X} / 7.0) AS BIGINT) % 61)"
+        " / CAST(200 AS DOUBLE)"
+    ),
+    "nir": (
+        f"CAST(0.10 AS DOUBLE) + (CAST(floor({_ACCA_X} / 11.0) AS BIGINT) % 83)"
+        " / CAST(200 AS DOUBLE)"
+    ),
+    "swir1": (
+        f"CAST(0.05 AS DOUBLE) + (CAST(floor({_ACCA_X} / 13.0) AS BIGINT) % 53)"
+        " / CAST(200 AS DOUBLE)"
+    ),
+    "bt": f"CAST(260 AS DOUBLE) + (CAST(floor({_ACCA_X} / 17.0) AS BIGINT) % 45)",
+}
+
+
+def _q_acca_classes(spark, sf_dir):
+    """X5 (real ACCA, round 3): the published pass-one decision tree via
+    the engine's numpy kernel (operators/zonal.py:acca_classify) + the
+    distributed pass-two (per-zone binned cloud-BT percentile
+    reclassification) over synthetic per-event pixels.  10° grid zones
+    stand in for scenes.  Oracle: fully independent SQL re-derivation
+    in DuckDB (CASE tree + window cumulative histogram)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from gips_spark.operators import zonal
+
+    pts = _event_points(spark, sf_dir)
+    df = pts.select(
+        F.floor((F.col("lat") + 90.0) / 10.0).cast("int").alias("gy"),
+        F.floor((F.col("lon") + 180.0) / 10.0).cast("int").alias("gx"),
+        *[F.expr(e).alias(b) for b, e in _ACCA_BANDS.items()],
+    )
+
+    def _cls(g, r, n4, s5, bt):
+        return pd.Series(
+            zonal.acca_classify(
+                g.to_numpy(), r.to_numpy(), n4.to_numpy(), s5.to_numpy(),
+                bt.to_numpy(),
+            )
+        )
+
+    cls_udf = pandas_udf(_cls, "double")
+
+    px = df.withColumn("cls", cls_udf("green", "red", "nir", "swir1", "bt"))
+    binc = (
+        F.least(F.greatest(F.floor(F.col("bt") - 200.0), F.lit(0)), F.lit(119))
+        .cast("int")
+        .alias("bin")
+    )
+    hist = (
+        px.where(F.col("cls").isin(1.0, 2.0))
+        .groupBy("gy", "gx", binc)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def thr_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        h = np.zeros(120, dtype=np.int64)
+        h[pdf["bin"].to_numpy()] = pdf["n"].to_numpy()
+        return pd.DataFrame(
+            {
+                "gy": [int(pdf["gy"].iloc[0])],
+                "gx": [int(pdf["gx"].iloc[0])],
+                "bt_thresh": [zonal.acca_bt_threshold(h)],
+                "n_cloud": [int(h.sum())],
+            }
+        )
+
+    thr = hist.groupBy("gy", "gx").applyInPandas(
+        thr_kernel, schema="gy int, gx int, bt_thresh double, n_cloud long"
+    )
+    out = px.join(F.broadcast(thr), ["gy", "gx"], "left").withColumn(
+        "cls2",
+        F.when(
+            (F.col("cls") == 3.0)
+            & (F.col("n_cloud") >= zonal.ACCA_MIN_CLOUD)
+            & (F.col("bt") < F.col("bt_thresh")),
+            F.lit(1.0),
+        ).otherwise(F.col("cls")),
+    )
+    return out.groupBy(
+        "gy", "gx", F.col("cls2").cast("int").alias("acca_class")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -768,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
+        "acca_classes": _q_acca_classes,
     }
 
 
@@ -1118,6 +1222,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(id AS BIGINT) AS doc_id, "
             "CAST(min(comp) AS BIGINT) AS component FROM r GROUP BY 1"
         ),
-        # cell_counts_h3: intentionally no oracle (engine-canonical h3
-        # ids have no in-sandbox ground truth) — rows-only check.
+        # cell_counts_h3 / footprint_cover: engine-canonical h3 ids have
+        # no in-sandbox EXTERNAL ground truth (h3lite.py docstring), but
+        # their outputs are deterministic — the oracle is a FROZEN
+        # regression pin (tests/golden/pins/*.parquet, written by
+        # scripts/gen_pins.py, same pattern as the minhash literal pins).
+        "acca_classes": f"""
+            WITH px AS (
+                SELECT CAST(floor(({_LAT_EXPR} + 90.0) / 10.0) AS INT) AS gy,
+                       CAST(floor(({_LON_EXPR} + 180.0) / 10.0) AS INT) AS gx,
+                       {_ACCA_BANDS['green']} AS green,
+                       {_ACCA_BANDS['red']} AS red,
+                       {_ACCA_BANDS['nir']} AS nir,
+                       {_ACCA_BANDS['swir1']} AS swir1,
+                       {_ACCA_BANDS['bt']} AS bt
+                FROM events),
+            c1 AS (SELECT *, CASE
+                WHEN red <= 0.08 THEN 0
+                WHEN (green - swir1) / (green + swir1) >= 0.7 THEN 4
+                WHEN bt >= 300.0 THEN 0
+                WHEN (1.0 - swir1) * bt >= 225.0 THEN 3
+                WHEN nir / red >= 2.0 THEN 3
+                WHEN nir / green >= 2.0 THEN 3
+                WHEN nir / swir1 <= 1.0 THEN 3
+                WHEN (1.0 - swir1) * bt < 210.0 THEN 2 ELSE 1 END AS cls
+              FROM px),
+            hist AS (SELECT gy, gx,
+                            CAST(least(greatest(floor(bt - 200.0), 0), 119) AS INT) AS bin,
+                            count(*) AS n
+                     FROM c1 WHERE cls IN (1, 2) GROUP BY 1, 2, 3),
+            cum AS (SELECT gy, gx, bin, n,
+                           sum(n) OVER (PARTITION BY gy, gx ORDER BY bin) AS c,
+                           sum(n) OVER (PARTITION BY gy, gx) AS total
+                    FROM hist),
+            thr AS (SELECT gy, gx,
+                           200.0 + min(CASE WHEN c >= 0.975 * total THEN bin END) AS bt_thresh,
+                           any_value(total) AS n_cloud
+                    FROM cum GROUP BY 1, 2),
+            c2 AS (SELECT c1.gy, c1.gx,
+                          CASE WHEN c1.cls = 3 AND thr.n_cloud >= 50
+                                    AND c1.bt < thr.bt_thresh
+                               THEN 1 ELSE c1.cls END AS acca_class
+                   FROM c1 LEFT JOIN thr ON c1.gy = thr.gy AND c1.gx = thr.gx)
+            SELECT gy, gx, CAST(acca_class AS INT) AS acca_class,
+                   count(*) AS n
+            FROM c2 GROUP BY 1, 2, 3
+        """,
+        "cell_counts_h3": (
+            f"SELECT h3_7, n FROM read_parquet('{_PIN_DIR}/cell_counts_h3.parquet')"
+        ),
+        "footprint_cover": (
+            "SELECT scene_id, h3_7, a_m2, pcov, ptile "
+            f"FROM read_parquet('{_PIN_DIR}/footprint_cover.parquet')"
+        ),
     }

@@ -145,6 +145,210 @@ def cloud_mask(raster_chunks: DataFrame, threshold: float = 0.45) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- real ACCA
+
+#: ACCA pass-one classes (Irish 2000 / Irish et al. 2006, the published
+#: Landsat-7 Automated Cloud Cover Assessment decision tree)
+ACCA_CLEAR, ACCA_WARM, ACCA_COLD, ACCA_AMBIG, ACCA_SNOW = 0.0, 1.0, 2.0, 3.0, 4.0
+
+#: pass-two thermal histogram: 1-K bins over [200, 320) K
+_ACCA_BT_LO, _ACCA_BT_BINS = 200.0, 120
+#: pass-two reclassification quantile + minimum cloud evidence
+ACCA_Q, ACCA_MIN_CLOUD = 0.975, 50
+
+
+def acca_classify(green, red, nir, swir1, bt) -> np.ndarray:
+    """Vectorized ACCA PASS ONE over reflectance bands (TOA, [0, 1])
+    and brightness temperature (Kelvin) — the published 8-filter tree
+    (`gippy.algorithms.acca` slot, SURVEY.md §2.8 X5; replaces round
+    1-2's brightness stand-in, VERDICT r2 #8):
+
+      f1 red > 0.08            else CLEAR   (brightness)
+      f2 NDSI < 0.7            else SNOW
+      f3 BT < 300 K            else CLEAR   (temperature)
+      f4 (1−swir1)·BT < 225    else AMBIG   (warm surfaces)
+      f5 nir/red < 2.0         else AMBIG   (vegetation)
+      f6 nir/green < 2.0       else AMBIG   (senescing vegetation)
+      f7 nir/swir1 > 1.0       else AMBIG   (rock / desert)
+      f8 survivors: COLD cloud if (1−swir1)·BT < 210 else WARM cloud
+
+    NaN in any input → NaN out (caller maps to nodata)."""
+    g = np.asarray(green, dtype=np.float64)
+    r = np.asarray(red, dtype=np.float64)
+    n4 = np.asarray(nir, dtype=np.float64)
+    s5 = np.asarray(swir1, dtype=np.float64)
+    t6 = np.asarray(bt, dtype=np.float64)
+    valid = ~(np.isnan(g) | np.isnan(r) | np.isnan(n4) | np.isnan(s5) | np.isnan(t6))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndsi = (g - s5) / (g + s5)
+        comp = (1.0 - s5) * t6
+        r43 = n4 / r
+        r42 = n4 / g
+        r45 = n4 / s5
+    out = np.full(g.shape, ACCA_CLEAR)
+    cand = valid & (r > 0.08)
+    snow = cand & (ndsi >= 0.7)
+    out[snow] = ACCA_SNOW
+    cand &= ~snow & (t6 < 300.0)
+    amb = np.zeros_like(cand)
+    for fail in (comp >= 225.0, r43 >= 2.0, r42 >= 2.0, r45 <= 1.0):
+        hit = cand & fail
+        amb |= hit
+        cand &= ~hit
+    out[amb] = ACCA_AMBIG
+    out[cand & (comp < 210.0)] = ACCA_COLD
+    out[cand & (comp >= 210.0)] = ACCA_WARM
+    out[~valid] = np.nan
+    return out
+
+
+def acca_bt_threshold(hist: np.ndarray, q: float = ACCA_Q) -> float:
+    """Pass-two thermal threshold from a binned cloud-BT histogram:
+    lower edge of the first bin where the cumulative count reaches
+    q·total.  Binned (1 K) so the distributed chunk-partial + scene-sum
+    reduction reproduces it EXACTLY (same additive trick as
+    zonal_stats) — and so a SQL oracle can recompute it."""
+    total = int(hist.sum())
+    if total == 0:
+        return -np.inf
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(cum, q * total))
+    return _ACCA_BT_LO + float(min(b, _ACCA_BT_BINS - 1))
+
+
+_ACCA_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def acca_mask(raster_chunks: DataFrame, pass_two: bool = True) -> DataFrame:
+    """Real ACCA over raster_chunks → band 'acca' rows with per-pixel
+    classes {0 clear, 1 warm, 2 cold, 3 ambiguous, 4 snow, nodata}.
+
+    Needs bands green/red/nir/swir1 + 'tirs' (brightness temperature,
+    Kelvin — fixtures.gen_thermal_chunks synthesizes it; real scenes
+    carry it natively).  Scale shape: pass one is chunk-local; pass two
+    reduces per-chunk 1-K cloud-BT histograms to ONE tiny (scene, bin)
+    table (≤120 rows/scene), derives the scene threshold, and
+    broadcast-joins it back — no scene's pixels ever gather in one
+    task."""
+
+    def p1_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        nodata = float(first["nodata"])
+        px = {
+            b: np.asarray(p, dtype=np.float64)
+            for b, p in zip(pdf["band"], pdf["pixels"])
+        }
+        need = ("green", "red", "nir", "swir1", "tirs")
+        if any(b not in px for b in need):
+            return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
+        bands = {b: np.where(px[b] == nodata, np.nan, px[b]) for b in need}
+        cls = acca_classify(
+            bands["green"], bands["red"], bands["nir"], bands["swir1"],
+            bands["tirs"],
+        )
+        out = np.where(np.isnan(cls), nodata, cls).astype(np.float32)
+        row = {f: first[f] for f in RASTER_SCHEMA.fieldNames()}
+        row["band"] = "acca"
+        row["pixels"] = out.tolist()
+        return pd.DataFrame([row])[list(RASTER_SCHEMA.fieldNames())]
+
+    p1 = raster_chunks.groupBy("scene_id", "chunk_id").applyInPandas(
+        p1_kernel, schema=RASTER_SCHEMA
+    )
+    if not pass_two:
+        return p1
+    p1 = p1.localCheckpoint(eager=False)
+
+    tirs = raster_chunks.where(F.col("band") == "tirs").select(
+        "scene_id", "chunk_id", F.col("pixels").alias("bt_px")
+    )
+    joined = p1.join(tirs, ["scene_id", "chunk_id"])
+
+    def hist_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for sid, cls_px, bt_px in zip(
+                pdf["scene_id"], pdf["pixels"], pdf["bt_px"]
+            ):
+                cls = np.asarray(cls_px, dtype=np.float64)
+                bt = np.asarray(bt_px, dtype=np.float64)
+                cloud = (cls == ACCA_WARM) | (cls == ACCA_COLD)
+                if not cloud.any():
+                    continue
+                b = np.clip(
+                    np.floor(bt[cloud] - _ACCA_BT_LO), 0, _ACCA_BT_BINS - 1
+                ).astype(np.int64)
+                cnt = np.bincount(b, minlength=_ACCA_BT_BINS)
+                nz = np.nonzero(cnt)[0]
+                rows.extend((sid, int(k), int(cnt[k])) for k in nz)
+            yield pd.DataFrame(rows, columns=["scene_id", "bin", "n"])
+
+    hist = (
+        joined.select("scene_id", "pixels", "bt_px")
+        .mapInPandas(hist_kernel, schema=_ACCA_HIST_SCHEMA)
+        .groupBy("scene_id", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+    def thresh_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(_ACCA_BT_BINS, dtype=np.int64)
+        h[pdf["bin"].to_numpy()] = pdf["n"].to_numpy()
+        return pd.DataFrame(
+            {
+                "scene_id": [pdf["scene_id"].iloc[0]],
+                "bt_thresh": [acca_bt_threshold(h)],
+                "n_cloud": [int(h.sum())],
+            }
+        )
+
+    thr = hist.groupBy("scene_id").applyInPandas(
+        thresh_kernel,
+        schema="scene_id string, bt_thresh double, n_cloud long",
+    )
+
+    def p2_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                cls = np.asarray(r["pixels"], dtype=np.float64)
+                if (
+                    r["n_cloud"] is not None
+                    and int(r["n_cloud"]) >= ACCA_MIN_CLOUD
+                ):
+                    bt = np.asarray(r["bt_px"], dtype=np.float64)
+                    up = (cls == ACCA_AMBIG) & (bt < float(r["bt_thresh"]))
+                    cls = np.where(up, ACCA_WARM, cls)
+                row = {f: r[f] for f in RASTER_SCHEMA.fieldNames()}
+                row["pixels"] = cls.astype(np.float32).tolist()
+                out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=list(RASTER_SCHEMA.fieldNames()))
+
+    return (
+        joined.join(F.broadcast(thr), "scene_id", "left")
+        .mapInPandas(p2_kernel, schema=RASTER_SCHEMA)
+    )
+
+
+def acca_cloud_mask(raster_chunks: DataFrame, pass_two: bool = True) -> DataFrame:
+    """ACCA classes → binary cloudmask (1 = warm/cold cloud), band
+    'cloudmask' — drop-in for the legacy brightness stand-in."""
+    acca = acca_mask(raster_chunks, pass_two=pass_two)
+    to_mask = F.transform(
+        "pixels",
+        lambda p: F.when(p == F.col("nodata"), p)
+        .when((p == F.lit(ACCA_WARM)) | (p == F.lit(ACCA_COLD)), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .cast("float"),
+    )
+    return acca.withColumn("pixels", to_mask).withColumn("band", F.lit("cloudmask"))
+
+
 def apply_mask(products: DataFrame, mask: DataFrame) -> DataFrame:
     """Set product pixels to nodata wherever mask==1 (ProjectInventory's
     mask-one-product-by-another, SURVEY.md §1.1)."""

@@ -456,6 +456,54 @@ def gen_raster_chunks(spark: SparkSession, n_scenes: int = 60) -> DataFrame:
     )
 
 
+def gen_thermal_chunks_pdf(
+    scenes: pd.DataFrame, n_scenes: int = 60, rng_seed: int = 77
+) -> pd.DataFrame:
+    """Thermal band ('tirs', brightness temperature in Kelvin) for the
+    SAME scenes/chunk layout as gen_raster_chunks — separate generator
+    (own rng) so adding it never perturbs the frozen optical goldens.
+
+    BT = 310 − 60·gradient + N(0,2): bright (high-gradient) pixels run
+    cold like cloud tops; the value spread crosses every ACCA branch
+    (≥300 K clear, 210–225 warm-composite window, <210 cold)."""
+    rng = np.random.default_rng(rng_seed)
+    srt = scenes.sort_values("scene_id").reset_index(drop=True)
+    step = max(1, len(srt) // n_scenes)
+    sub = srt.iloc[::step].head(n_scenes)
+    rows = []
+    for _, sc in sub.iterrows():
+        gt = [sc["min_lon"], (sc["max_lon"] - sc["min_lon"]) / IMG_W, 0.0,
+              sc["max_lat"], 0.0, -(sc["max_lat"] - sc["min_lat"]) / IMG_H]
+        yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
+        base = (xx + yy) / (IMG_W + IMG_H)
+        img = (310.0 - 60.0 * base + rng.normal(0, 2.0, base.shape)).astype(
+            np.float32
+        )
+        img[rng.random(base.shape) < 0.03] = NODATA
+        for ci, y0 in enumerate(range(0, IMG_H, CHUNK_H)):
+            rows.append(
+                {
+                    "scene_id": sc["scene_id"],
+                    "band": "tirs",
+                    "chunk_id": ci,
+                    "x0": 0,
+                    "y0": y0,
+                    "w": IMG_W,
+                    "h": CHUNK_H,
+                    "pixels": img[y0 : y0 + CHUNK_H].ravel().tolist(),
+                    "nodata": NODATA,
+                    "gt": gt,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def gen_thermal_chunks(spark: SparkSession, n_scenes: int = 60) -> DataFrame:
+    return spark.createDataFrame(
+        gen_thermal_chunks_pdf(gen_scenes_pdf(), n_scenes), schema=RASTER_SCHEMA
+    )
+
+
 def gen_knn_queries_pdf(rng_seed: int = 42) -> pd.DataFrame:
     """100 kNN query points: 50 in hotspots, 30 sparse, 20 near extent
     boundaries (FIXTURES.md §5)."""

@@ -39,9 +39,10 @@ def test_queries_have_oracles_or_reason(spark):
     qs = em.queries()
     oracles = em.oracle_sql()
     assert set(oracles) <= set(qs)
-    # the rows-only set is exactly the ops with no in-sandbox ground
-    # truth (engine-canonical h3 ids); everything else is oracle-checked
-    assert set(qs) - set(oracles) == {"cell_counts_h3", "footprint_cover"}
+    # round 3: EVERY query is oracle-checked — the engine-id-defined two
+    # (cell_counts_h3, footprint_cover) carry frozen regression-pin
+    # parquet oracles (scripts/gen_pins.py) instead of independent SQL
+    assert set(qs) - set(oracles) == set()
 
 
 def test_fast_queries_match_duckdb(spark):

@@ -152,3 +152,107 @@ def test_mosaic_deterministic_first_wins(spark, raster_chunks):
     assert (m1["scene_id"] == m2["scene_id"]).all()
     for a, b in zip(m1["pixels"], m2["pixels"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------------------- real ACCA
+
+
+def test_acca_classify_known_answers():
+    """Hand-built pixels hitting every branch of the published decision
+    tree (Irish 2000) — a true known-answer oracle, not a re-run."""
+    from gips_spark.operators.zonal import (
+        ACCA_AMBIG, ACCA_CLEAR, ACCA_COLD, ACCA_SNOW, ACCA_WARM, acca_classify,
+    )
+
+    #           green  red   nir   swir1  bt      expect
+    cases = [
+        (0.10, 0.05, 0.20, 0.10, 280.0, ACCA_CLEAR),   # f1: red ≤ 0.08
+        (0.60, 0.50, 0.45, 0.05, 270.0, ACCA_SNOW),    # f2: NDSI ≥ 0.7
+        (0.30, 0.30, 0.35, 0.25, 305.0, ACCA_CLEAR),   # f3: BT ≥ 300
+        (0.30, 0.30, 0.35, 0.08, 260.0, ACCA_AMBIG),   # f4: (1-s5)*bt ≥ 225
+        (0.30, 0.15, 0.40, 0.30, 260.0, ACCA_AMBIG),   # f5: nir/red ≥ 2
+        (0.18, 0.30, 0.40, 0.30, 260.0, ACCA_AMBIG),   # f6: nir/green ≥ 2
+        (0.40, 0.35, 0.30, 0.35, 260.0, ACCA_AMBIG),   # f7: nir/swir1 ≤ 1
+        (0.40, 0.35, 0.40, 0.30, 260.0, ACCA_COLD),    # (1-.3)*260=182 < 210
+        (0.40, 0.35, 0.40, 0.20, 270.0, ACCA_WARM),    # (1-.2)*270=216 ∈ [210,225)
+        (np.nan, 0.35, 0.40, 0.20, 270.0, np.nan),     # nodata propagates
+    ]
+    a = np.array(cases, dtype=np.float64)
+    got = acca_classify(a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4])
+    want = a[:, 5]
+    ok = np.isnan(want) == np.isnan(got)
+    ok &= np.isnan(want) | (got == want)
+    assert ok.all(), list(zip(got, want))
+
+
+def test_acca_threshold_binned():
+    from gips_spark.operators.zonal import acca_bt_threshold
+
+    h = np.zeros(120, dtype=np.int64)
+    h[50] = 97   # 250 K
+    h[80] = 3    # 280 K → 97.5% falls inside bin 80
+    assert acca_bt_threshold(h) == 280.0
+    assert acca_bt_threshold(np.zeros(120, dtype=np.int64)) == -np.inf
+
+
+def test_acca_mask_spark_vs_numpy(spark, raster_chunks):
+    """Distributed ACCA (chunk pass-one + histogram-reduced pass-two)
+    equals a single-process numpy evaluation over gathered scenes."""
+    from gips_spark.operators import zonal
+    from gips_spark.sources import fixtures
+
+    thermal = fixtures.gen_thermal_chunks(spark, 12)
+    chunks = raster_chunks.union(thermal)
+    got = zonal.acca_mask(chunks).toPandas()
+    assert len(got) > 0
+
+    pdf = chunks.toPandas()
+    by_scene = {}
+    for (sid, cid), grp in pdf.groupby(["scene_id", "chunk_id"]):
+        nodata = float(grp["nodata"].iloc[0])
+        px = {
+            b: np.asarray(p, dtype=np.float64)
+            for b, p in zip(grp["band"], grp["pixels"])
+        }
+        bands = {
+            b: np.where(px[b] == nodata, np.nan, px[b])
+            for b in ("green", "red", "nir", "swir1", "tirs")
+        }
+        cls = zonal.acca_classify(
+            bands["green"], bands["red"], bands["nir"], bands["swir1"],
+            bands["tirs"],
+        )
+        by_scene.setdefault(sid, {})[cid] = (cls, bands["tirs"], nodata)
+    n_upgraded = 0
+    for sid, per_chunk in by_scene.items():
+        allcls = np.concatenate([c for c, _, _ in per_chunk.values()])
+        allbt = np.concatenate([t for _, t, _ in per_chunk.values()])
+        cloud = (allcls == zonal.ACCA_WARM) | (allcls == zonal.ACCA_COLD)
+        h = np.zeros(120, dtype=np.int64)
+        if cloud.any():
+            b = np.clip(np.floor(allbt[cloud] - 200.0), 0, 119).astype(np.int64)
+            h = np.bincount(b, minlength=120)
+        thr = zonal.acca_bt_threshold(h)
+        for cid, (cls, bt, nodata) in per_chunk.items():
+            if h.sum() >= zonal.ACCA_MIN_CLOUD:
+                up = (cls == zonal.ACCA_AMBIG) & (bt < thr)
+                n_upgraded += int(up.sum())
+                cls = np.where(up, zonal.ACCA_WARM, cls)
+            want = np.where(np.isnan(cls), nodata, cls).astype(np.float32)
+            grow = got[(got["scene_id"] == sid) & (got["chunk_id"] == cid)]
+            assert len(grow) == 1, (sid, cid)
+            np.testing.assert_array_equal(
+                np.asarray(grow["pixels"].iloc[0], dtype=np.float32), want
+            )
+    assert n_upgraded > 0  # pass two is live on the fixture
+
+
+def test_acca_cloud_mask_binary(spark, raster_chunks):
+    from gips_spark.operators import zonal
+    from gips_spark.sources import fixtures
+
+    chunks = raster_chunks.union(fixtures.gen_thermal_chunks(spark, 12))
+    m = zonal.acca_cloud_mask(chunks).toPandas()
+    vals = np.unique(np.concatenate([np.asarray(p) for p in m["pixels"]]))
+    assert set(vals.tolist()) <= {0.0, 1.0, -9999.0}
+    assert (m["band"] == "cloudmask").all()
