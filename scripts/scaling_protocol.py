@@ -81,11 +81,19 @@ def canary_seconds(n_procs: int = 8) -> float:
 # ------------------------------------------------------------------ trial
 
 TRIAL_CODE = r"""
-import time, json, sys
+import os, time, json, sys
 from gips_spark import get_spark
 from gips_spark.operators import tile_assign
-master = sys.argv[1]; cpus = int(sys.argv[2]); with_text = sys.argv[4] == 'text' 
-spark = get_spark('scalp', master=master, shuffle_partitions=max(cpus, 32))
+master = sys.argv[1]; cpus = int(sys.argv[2]); with_text = sys.argv[4] == 'text'
+extra = {}
+if master.startswith('local-cluster'):
+    # separate executor JVMs: ship the engine like spark-submit --py-files
+    zip_path = os.path.join(os.getcwd(), 'gips_spark.zip')
+    extra['spark.submit.pyFiles'] = zip_path
+spark = get_spark('scalp', master=master, shuffle_partitions=max(cpus, 32),
+                  extra_conf=extra)
+if master.startswith('local-cluster'):
+    spark.sparkContext.addPyFile(os.path.join(os.getcwd(), 'gips_spark.zip'))
 pages = spark.read.parquet(sys.argv[3])
 warm = pages.limit(60000).repartition(cpus * 2)
 tile_assign.enrich_pages(warm, persist=False, do_repartition=False,
@@ -146,7 +154,15 @@ def main():
         n = args.cores
         masters = [(f"local[{n}]", n), (f"local[{4 * n}]", 4 * n)]
     else:
-        masters = [("local-cluster[2,4,3072]", 8), ("local-cluster[8,4,3072]", 32)]
+        subprocess.run(
+            ["bash", "scripts/package_zip.sh"], check=True,
+            capture_output=True, cwd=REPO,
+        )
+        c = max(1, args.cores // 2)
+        masters = [
+            (f"local-cluster[{c},2,2048]", 2 * c),
+            (f"local-cluster[{4 * c},2,2048]", 8 * c),
+        ]
 
     cache = os.path.join(REPO, ".bench_cache", f"pages_{args.rows}")
     if not os.path.isdir(cache):
