@@ -441,7 +441,91 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: not converged after {max_iter} rounds "
             f"({changed} labels still changing) — graph has a path longer "
-            "than max_iter hops; raise max_iter or use the "
-            "large-star/small-star variant"
+            "than max_iter hops; raise max_iter or use "
+            "connected_components_star (O(log² n) rounds)"
         )
     return labels
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR —
+    the published MapReduce-and-beyond algorithm (Kiveris et al. 2014):
+    converges in O(log² n) rounds on ANY graph shape, so adversarial
+    long near-dup chains (where min-label propagation needs
+    diameter-many rounds) stay cheap.  Same output contract as
+    connected_components: (id, comp) with comp = min reachable id.
+
+    Per round (each ONE shuffle groupBy + join):
+      large-star: every neighbor v > u re-attaches to m(u) = min of
+                  u's closed neighborhood;
+      small-star: every neighbor v ≤ u (and u itself) attaches to m(u).
+    Stable when the edge multiset stops changing; the final graph is a
+    forest of depth-1 stars rooted at component minima.
+    """
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .withColumn("m", F.least(F.col("mv"), F.col("u")))
+            .select("u", "m")
+        )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).where(F.col("u") != F.col("v")).distinct()
+
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # every id in the input appears in the output — including ids whose
+    # only pair is a self-loop (contract parity with connected_components)
+    all_ids = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = _sym(edges).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric view
+        sym = _sym(e)
+        j = sym.join(_mins(sym), "u")
+        large = (
+            j.where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e2 = large.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
+            eager=True
+        )
+        # small-star (edges now point larger→smaller; center on the larger)
+        sym2 = _sym(e2)
+        center = sym2.where(F.col("v") < F.col("u"))
+        mins2 = _mins(center)
+        j2 = center.join(mins2, "u")
+        small = j2.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            mins2.select(F.col("u"), F.col("m").alias("v"))
+        )
+        new = small.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
+            eager=True
+        )
+        # converged when the (undirected-canonical) edge set is stable
+        a = new.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        b = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        if a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty():
+            e = new
+            converged = True
+            break
+        e = new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: not stable after {max_iter} rounds"
+        )
+    # star edges point member → root; roots label themselves
+    member = e.select(
+        F.greatest("u", "v").alias("id"), F.least("u", "v").alias("comp")
+    ).groupBy("id").agg(F.min("comp").alias("comp"))
+    return (
+        all_ids.join(member, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )

@@ -127,19 +127,29 @@ def _surviving_slice(
     c_ids = coarse_pdf["prefix"].to_numpy()
     cla, clo, crad = _disk_bounds(coarse_pdf)
 
-    # one (n_queries × n_prefixes) haversine matrix for every query
+    # (block × n_prefixes) haversine matrices: blocking keeps driver
+    # memory constant at ANY query count (10^5 queries × 10^5 prefixes
+    # would be an 80 GB matrix unblocked; per-block it is B × prefixes)
     q_lat = queries_pdf["lat"].to_numpy(dtype=np.float64)
     q_lon = queries_pdf["lon"].to_numpy(dtype=np.float64)
-    dqc = haversine_m(q_lat[:, None], q_lon[:, None], cla[None, :], clo[None, :])
-    lb_all = np.maximum(dqc - crad[None, :], 0.0)
-    ub_all = dqc + crad[None, :]
+    BLOCK = 512
 
     surviving: dict[object, np.ndarray] = {}
     d_coarse: dict[object, float] = {}
     union: set[int] = set()
+    lb_blk = ub_blk = None
+    blk_start = -1
     for qi, (_, q) in enumerate(queries_pdf.iterrows()):
+        if qi % BLOCK == 0:
+            blk_start = qi
+            sl = slice(qi, min(qi + BLOCK, len(q_lat)))
+            dqc = haversine_m(
+                q_lat[sl, None], q_lon[sl, None], cla[None, :], clo[None, :]
+            )
+            lb_blk = np.maximum(dqc - crad[None, :], 0.0)
+            ub_blk = dqc + crad[None, :]
         qla, qlo, k = float(q["lat"]), float(q["lon"]), int(q["k"])
-        lb_d = lb_all[qi]
+        lb_d = lb_blk[qi - blk_start]
         # (1) k-covering selected by disk-UB order: a set of prefixes
         # whose EVERY point lies within the last taken disk-ub, holding
         # ≥k rows.  Ordering by ub (not lb) dodges prefixes whose bbox
@@ -147,7 +157,7 @@ def _surviving_slice(
         # half-earth extent — selecting those would blow D up to
         # 20,000 km and keep everything).  D is then tightened with the
         # rigorous upper bound on just the covering set.
-        order = np.argsort(ub_all[qi], kind="stable")
+        order = np.argsort(ub_blk[qi - blk_start], kind="stable")
         cum = np.cumsum(c_n[order])
         take = min(int(np.searchsorted(cum, k) + 1), len(order))
         idx0 = order[:take]

@@ -199,3 +199,63 @@ def test_ivf_sqrt_n_defaults_and_recall(spark):
         recalls.append(len(want & got) / len(want))
     mean_recall = float(np.mean(recalls))
     assert mean_recall >= 0.5, mean_recall
+
+
+def test_connected_components_star_chains_and_random(spark):
+    """Large-star/small-star CC (O(log^2 n) rounds) vs a python
+    union-find oracle — includes a 120-hop chain, which min-label
+    propagation cannot converge on in 20 rounds (it raises; the star
+    variant finishes in a handful)."""
+    import pytest as _pytest
+
+    from gips_spark.operators import dedup
+
+    rng = np.random.default_rng(11)
+    # long chain 0-1-2-...-120 (+ offset), a few cliques, random pairs
+    chain = [(1000 + i, 1000 + i + 1) for i in range(120)]
+    cliques = [(2000 + a, 2000 + b) for a in range(6) for b in range(a + 1, 6)]
+    rand = [
+        (int(rng.integers(0, 400)), int(rng.integers(0, 400))) for _ in range(150)
+    ]
+    pairs = [(a, b) for a, b in chain + cliques + rand if a != b]
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a long, id_b long"
+    )
+
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # canonicalize: min id per component
+    comp_min = {}
+    for x, r in want.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    want = {x: comp_min[find(x)] for x in parent}
+
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components_star(pdf).collect()
+    }
+    assert got == want
+
+    # min-label propagation on the chain alone: must refuse, not lie
+    chain_df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="not converged"):
+        dedup.connected_components(chain_df, max_iter=5)
+    # and the star variant agrees with min-label where both converge
+    small = spark.createDataFrame(cliques + rand[:40], "id_a long, id_b long")
+    a = {r["id"]: r["comp"] for r in dedup.connected_components(small).collect()}
+    b = {r["id"]: r["comp"] for r in dedup.connected_components_star(small).collect()}
+    assert a == b
