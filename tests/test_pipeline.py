@@ -211,3 +211,27 @@ def test_knn_two_level_slice_under_one_percent(spark):
     b = knn.knn_bruteforce(pts, q).cache()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_knn_multiblock_queries_exact(spark, enriched, directory):
+    """>512 queries exercises the blocked (queries × prefixes) bound
+    matrix (knn.py BLOCK=512) across block boundaries — results must
+    stay brute-force-equal."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    n_q = 700
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"M{i:04d}" for i in range(n_q)],
+            "lat": rng.uniform(-60, 60, n_q),
+            "lon": rng.uniform(-180, 180, n_q),
+            "k": rng.choice([1, 3], size=n_q).astype("int32"),
+        }
+    )
+    q = spark.createDataFrame(qpdf)
+    a = knn.knn_join(spark, enriched, q, directory).cache()
+    b = knn.knn_bruteforce(enriched, q).cache()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
