@@ -186,6 +186,44 @@ def _q_knn_events(spark, sf_dir):
     )
 
 
+def _q_knn_events_dist(spark, sf_dir):
+    """J5 variant — fully distributed kNN (knn.knn_join_distributed):
+    per-query pruning in executors, no queries.toPandas(); same exact
+    semantics as knn_events, same oracle."""
+    from gips_spark.functions import udfs
+    from gips_spark.operators import cell_directory, knn
+    import pandas as pd
+
+    pts = (
+        _event_points(spark, sf_dir)
+        .select(
+            F.col("event_id").cast("string").alias("url"),
+            "lat",
+            "lon",
+            F.lit("pt").alias("geocode_src"),
+        )
+        .withColumn("h3_7", udfs.h3_cell(F.col("lat"), F.col("lon")))
+    )
+    queries_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [q[0] for q in _KNN_QUERIES],
+                "lat": [q[1] for q in _KNN_QUERIES],
+                "lon": [q[2] for q in _KNN_QUERIES],
+                "k": [_KNN_K] * len(_KNN_QUERIES),
+            }
+        )
+    )
+    directory = cell_directory.build_cell_directory(pts)
+    out = knn.knn_join_distributed(spark, pts, queries_df, directory)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("url").cast("long").alias("event_id"),
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
 def _q_grid_tile_assign(spark, sf_dir):
     """J1 analog with a SQL-expressible grid: 0.5° lat/lon tiling."""
     pts = _event_points(spark, sf_dir)
@@ -834,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
         "knn_events": _q_knn_events,
+        "knn_events_dist": _q_knn_events_dist,
         "grid_tile_assign": _q_grid_tile_assign,
         "zonal_grid_stats": _q_zonal_grid_stats,
         "haversine_bands": _q_knn_bruteforce_agg,
@@ -914,6 +953,21 @@ def oracle_sql() -> dict[str, str]:
             + f" SELECT event_id FROM pts WHERE {_raycast_sql()}"
         ),
         "knn_events": (
+            _points_cte()
+            + f""",
+            q AS ({knn_union}),
+            d AS (SELECT q.query_id, pts.event_id,
+                         {_haversine_sql('pts.lat', 'pts.lon', 'q.q_lat', 'q.q_lon')} AS dist
+                  FROM pts CROSS JOIN q)
+            SELECT query_id, rank, event_id, round(dist, 3) AS dist_m
+            FROM (SELECT query_id, event_id, dist,
+                         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, CAST(event_id AS VARCHAR) ASC) AS rank
+                  FROM d)
+            WHERE rank <= {_KNN_K}
+            """
+        ),
+        "knn_events_dist": (
             _points_cte()
             + f""",
             q AS ({knn_union}),

@@ -324,3 +324,38 @@ def test_knn_driver_pruning_1e4_queries_fast():
     assert len(surviving) == n_q
     assert (d_fine > 0).all()
     assert all(len(v) > 0 for v in surviving.values())
+
+
+def test_knn_distributed_exact_vs_bruteforce(spark, enriched, directory):
+    """knn_join_distributed == brute force on the standard fixture
+    (mixed k, same contract as knn_join)."""
+    from gips_spark.sources import fixtures
+
+    q = fixtures.gen_knn_queries(spark)
+    a = knn.knn_join_distributed(spark, enriched, q, directory).cache()
+    b = knn.knn_bruteforce(enriched, q).cache()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_knn_distributed_1e5_queries(spark, enriched, directory):
+    """VERDICT r3 next #8 done-bar: 10^5 queries through the fully
+    distributed plan (no queries.toPandas()), brute-force-equal.
+    Driver never materializes the query set — only the res-4 rollup."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_q = 100_000
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"D{i:06d}" for i in range(n_q)],
+            "lat": rng.uniform(-60, 60, n_q),
+            "lon": rng.uniform(-180, 180, n_q),
+            "k": rng.choice([1, 2], size=n_q).astype("int32"),
+        }
+    )
+    q = spark.createDataFrame(qpdf).repartition(8).cache()
+    a = knn.knn_join_distributed(spark, enriched, q, directory).cache()
+    b = knn.knn_bruteforce(enriched, q).cache()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
