@@ -425,7 +425,9 @@ def pitch_deg(res: int) -> float:
         return PITCH_DEG[res]
     if not 0 <= res <= 15:
         raise ValueError(f"h3lite: resolution {res} out of range 0..15")
-    anchor = 7
+    # extrapolate from the NEAREST tabulated anchor (ADVICE r3 low: the
+    # √7 law compounds ~4%/step error from a fixed far anchor)
+    anchor = min(PITCH_DEG, key=lambda a: (abs(res - a), a))
     return PITCH_DEG[anchor] * (7.0 ** (-0.5 * (res - anchor)))
 
 

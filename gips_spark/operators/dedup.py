@@ -509,10 +509,12 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame
         new = small.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
             eager=True
         )
-        # converged when the (undirected-canonical) edge set is stable
-        a = new.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        b = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        if a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty():
+        # converged when the edge set is stable.  From round 1 on both
+        # sides are DISTINCT and u>v-directed (large/small-star outputs
+        # always point larger→smaller), so equal counts + one empty
+        # except ⟹ set equality — one count job + one except instead
+        # of two full exceptAlls per round (ADVICE r3 low).
+        if new.count() == e.count() and new.exceptAll(e).isEmpty():
             e = new
             converged = True
             break

@@ -71,10 +71,13 @@ def compute_products(raster_chunks: DataFrame, products: list[str] | None = None
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         first = pdf.iloc[0]
         nodata = float(first["nodata"])
+        # pixels arrive as float32 — compare against the float32-rounded
+        # nodata or a non-representable value (e.g. -9999.1) never hits
+        nd32 = float(np.float32(nodata))
         bands = {}
         for band, pixels in zip(pdf["band"], pdf["pixels"]):
             px = np.asarray(pixels, dtype=np.float64)
-            bands[band] = np.where(px == nodata, np.nan, px)
+            bands[band] = np.where(px == nd32, np.nan, px)
         if len(bands) < 6:
             return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
         idx = _index_formulas(bands)
@@ -120,7 +123,8 @@ def cloud_mask(raster_chunks: DataFrame, threshold: float = 0.45) -> DataFrame:
         }
         if "blue" not in px or "green" not in px:
             return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
-        valid = (px["blue"] != nodata) & (px["green"] != nodata)
+        nd32 = float(np.float32(nodata))  # pixels are float32
+        valid = (px["blue"] != nd32) & (px["green"] != nd32)
         m = ((px["blue"] > threshold) & (px["green"] > threshold)).astype(np.float32)
         m[~valid] = nodata
         return pd.DataFrame(
@@ -247,7 +251,8 @@ def acca_mask(raster_chunks: DataFrame, pass_two: bool = True) -> DataFrame:
         need = ("green", "red", "nir", "swir1", "tirs")
         if any(b not in px for b in need):
             return pd.DataFrame(columns=list(RASTER_SCHEMA.fieldNames()))
-        bands = {b: np.where(px[b] == nodata, np.nan, px[b]) for b in need}
+        nd32 = float(np.float32(nodata))  # pixels are float32
+        bands = {b: np.where(px[b] == nd32, np.nan, px[b]) for b in need}
         cls = acca_classify(
             bands["green"], bands["red"], bands["nir"], bands["swir1"],
             bands["tirs"],
@@ -339,9 +344,13 @@ def acca_cloud_mask(raster_chunks: DataFrame, pass_two: bool = True) -> DataFram
     """ACCA classes → binary cloudmask (1 = warm/cold cloud), band
     'cloudmask' — drop-in for the legacy brightness stand-in."""
     acca = acca_mask(raster_chunks, pass_two=pass_two)
+    # compare in float32 — pass-one stored classes (and nodata pixels)
+    # via astype(float32), so an exact-equality test against the DOUBLE
+    # nodata column silently misses any nodata value that is not
+    # float32-representable (ADVICE r3 low)
     to_mask = F.transform(
         "pixels",
-        lambda p: F.when(p == F.col("nodata"), p)
+        lambda p: F.when(p == F.col("nodata").cast("float"), p)
         .when((p == F.lit(ACCA_WARM)) | (p == F.lit(ACCA_COLD)), F.lit(1.0))
         .otherwise(F.lit(0.0))
         .cast("float"),
@@ -450,7 +459,7 @@ def zonal_stats(
                 lat_g = np.repeat(lats[:, None], w, axis=1).ravel()
                 inside = poly.contains_chunked(lon_g, lat_g)
                 px = np.asarray(r.pixels, dtype=np.float64)
-                nodata = float(r.nodata)
+                nodata = float(np.float32(r.nodata))  # pixels are float32
                 v = px[inside & (px != nodata)]
                 if v.size == 0:
                     continue
@@ -514,8 +523,8 @@ def scene_band_means(chunks: DataFrame) -> DataFrame:
         "pixels",
         F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")),
         lambda acc, x: F.struct(
-            (acc["s"] + F.when(x != F.col("nodata"), x.cast("double")).otherwise(0.0)).alias("s"),
-            (acc["c"] + F.when(x != F.col("nodata"), 1).otherwise(0)).alias("c"),
+            (acc["s"] + F.when(x != F.col("nodata").cast("float"), x.cast("double")).otherwise(0.0)).alias("s"),
+            (acc["c"] + F.when(x != F.col("nodata").cast("float"), 1).otherwise(0)).alias("c"),
         ),
     )
     per_chunk = chunks.withColumn("vs", valid_sum).select(
@@ -562,7 +571,7 @@ def pixelwise_composite(chunks: DataFrame, band: str = "ndvi") -> DataFrame:
         stack = np.stack(
             [np.asarray(p, dtype=np.float64) for p in pdf["pixels"]], axis=0
         )
-        stack = np.where(stack == nodata, np.nan, stack)
+        stack = np.where(stack == float(np.float32(nodata)), np.nan, stack)
         with np.errstate(all="ignore"):
             mx = np.nanmax(stack, axis=0)
         mx = np.where(np.isfinite(mx), mx, nodata).astype(np.float32)

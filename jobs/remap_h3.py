@@ -43,9 +43,14 @@ from gips_spark.plans import lineage, metrics  # noqa: E402
 
 def remap(df):
     """Drop the old ids, recompute (h3_7, s2_13, cell_prefix) from
-    lat/lon via the active cellindex backend."""
+    lat/lon via the active cellindex backend.
+
+    Any persisted ``salt`` column is DROPPED too (ADVICE r3 low): salt
+    was derived from the OLD h3_7 via plans/salt, so carrying it into a
+    migrated dataset would be a latent skew trap — re-salt with
+    plans.salt against the new ids before any skew-sensitive write."""
     return (
-        df.drop("h3_7", "s2_13", "cell_prefix")
+        df.drop("h3_7", "s2_13", "cell_prefix", "salt")
         .withColumn("e", udfs.cells_only(F.col("lat"), F.col("lon")))
         .select("*", "e.*")
         .drop("e")

@@ -256,3 +256,32 @@ def test_acca_cloud_mask_binary(spark, raster_chunks):
     vals = np.unique(np.concatenate([np.asarray(p) for p in m["pixels"]]))
     assert set(vals.tolist()) <= {0.0, 1.0, -9999.0}
     assert (m["band"] == "cloudmask").all()
+
+
+def test_acca_cloud_mask_nonrepresentable_nodata(spark, raster_chunks):
+    """ADVICE r3: a nodata value with no exact float32 representation
+    (-9999.1) must still be recognized — comparison happens after both
+    sides are cast to float32, mirroring how pass-one stored pixels."""
+    from pyspark.sql import functions as F2
+
+    from gips_spark.operators import zonal
+    from gips_spark.sources import fixtures
+
+    odd = np.float32(-9999.1)  # -9999.099609375 as float32
+    chunks = (
+        raster_chunks.union(fixtures.gen_thermal_chunks(spark, 12))
+        .withColumn(
+            "pixels",
+            F2.transform(
+                "pixels",
+                lambda p: F2.when(
+                    p == F2.col("nodata").cast("float"), F2.lit(float(odd))
+                ).otherwise(p).cast("float"),
+            ),
+        )
+        .withColumn("nodata", F2.lit(-9999.1))
+    )
+    m = zonal.acca_cloud_mask(chunks).toPandas()
+    vals = np.unique(np.concatenate([np.asarray(p, dtype=np.float32) for p in m["pixels"]]))
+    assert set(vals.tolist()) <= {0.0, 1.0, float(odd)}
+    assert float(odd) in vals.tolist()  # nodata survived, not reclassified
