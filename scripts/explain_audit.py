@@ -9,6 +9,13 @@ automated checks for the plan properties the engine promises:
 * WholeStageCodegen spans cover the relational tail.
 
 Run: python scripts/explain_audit.py [sf_dir]  (writes PLANS.md)
+
+The check list also runs in CI via tests/test_plans.py (VERDICT r3 next
+#6) — a lost broadcast / new InMemoryRelation / row-wise Python stage
+fails pytest, not just this out-of-band script.  `run_audit` is
+ordered so nothing is persisted before the single-pass-assign check
+(no clearCache needed: pytest's session-scoped cached fixtures must
+survive an audit run).
 """
 
 from __future__ import annotations
@@ -34,23 +41,29 @@ def formatted(df) -> str:
     return buf.getvalue()
 
 
-def main():
-    spark = get_spark("explain", master="local[8]", shuffle_partitions=8)
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".bench_cache",
-        "pages_100000",
-    )
-    if not os.path.isdir(cache):
-        fixtures.gen_pages(spark, 100_000).write.parquet(cache)
-    pages = spark.read.parquet(cache)
-
+def run_audit(spark, pages, salt_target_rows: int = 5000):
+    """All plan checks against a PARQUET-backed `pages` DataFrame.
+    Returns (sections, checks); persists nothing permanently (the one
+    internal persist is unpersisted before returning)."""
     sections = {}
     checks = []
 
-    enr = tile_assign.enrich_pages(pages, salt_target_rows=5000)
-    sections["assign (enrich → salt → repartitionByRange)"] = formatted(enr)
-    p = sections["assign (enrich → salt → repartitionByRange)"]
+    # --- single-pass assign FIRST: nothing may be cached yet, so the
+    # "no InMemoryRelation" check is meaningful without clearCache
+    sp1 = formatted(
+        tile_assign.enrich_pages(
+            pages, salt_target_rows=salt_target_rows, salt_sample=0.02
+        )
+    )
+    sections["assign single-pass (sampled salt, hash partition)"] = sp1
+    checks.append(
+        ("assign-sp: no InMemoryRelation (no persist)", "InMemoryRelation" not in sp1)
+    )
+    checks.append(("assign-sp: salt plan broadcast", "BroadcastExchange" in sp1))
+
+    enr = tile_assign.enrich_pages(pages, salt_target_rows=salt_target_rows)
+    p = formatted(enr)
+    sections["assign (enrich → salt → repartitionByRange)"] = p
     # the fused kernel is ONE Arrow UDF; cached-plan reprints duplicate the
     # node textually, so assert the udf name + absence of row-wise Python
     checks.append(("assign: fused Arrow kernel only", "extract_and_cells" in p and "BatchEvalPython" not in p))
@@ -102,20 +115,16 @@ def main():
         ("coarse-dir: JVM-only partial agg", "HashAggregate" in cp and "ArrowEvalPython" not in cp.split("InMemoryRelation")[0])
     )
 
-    # r2: single-pass assign — ONE Arrow stage, no block-manager persist
-    # in plan.  clearCache first: the exact-mode enr persisted above
-    # otherwise gets substituted into this plan by logical-plan cache
-    # matching and shows a spurious InMemoryRelation.
-    spark.catalog.clearCache()
-    sp1 = formatted(
-        tile_assign.enrich_pages(pages, salt_target_rows=5000, salt_sample=0.02)
-    )
-    sections["assign single-pass (sampled salt, hash partition)"] = sp1
+    # r4: distributed kNN — candidate/query joins run shuffle-side (no
+    # scale-breaking driver broadcast of per-query candidates) and the
+    # two pruning stages are Arrow-vectorized, not row-wise Python
+    knd = knn.knn_join_distributed(spark, enr, queries, directory)
+    kdp = formatted(knd)
+    sections["knn_join_distributed (executor pruning → shuffle joins)"] = kdp
+    checks.append(("knn-dist: no row-wise Python", "BatchEvalPython" not in kdp))
     checks.append(
-        ("assign-sp: no InMemoryRelation (no persist)", "InMemoryRelation" not in sp1)
+        ("knn-dist: executor pruning stages (2× MapInPandas)", kdp.count("MapInPandas") >= 2)
     )
-    checks.append(("assign-sp: salt plan broadcast", "BroadcastExchange" in sp1))
-
 
     # r2: QA unpack — pure Column ops, zero Python
     from gips_spark.operators import qa as qa_ops
@@ -139,6 +148,24 @@ def main():
         ("footprint: dedup before kernel (HashAggregate under MapInPandas)",
          "MapInPandas" in fpp and "HashAggregate" in fpp)
     )
+
+    directory.unpersist()
+    enr.unpersist()
+    return sections, checks
+
+
+def main():
+    spark = get_spark("explain", master="local[8]", shuffle_partitions=8)
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_cache",
+        "pages_100000",
+    )
+    if not os.path.isdir(cache):
+        fixtures.gen_pages(spark, 100_000).write.parquet(cache)
+    pages = spark.read.parquet(cache)
+
+    sections, checks = run_audit(spark, pages)
 
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)", ""]
     out.append("## Checks")

@@ -80,3 +80,77 @@ def test_bucketed_fallback_pins_iceberg_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 500
     assert "url_bucket" in back.columns
+
+
+def test_iceberg_layout_contract_manifest(spark, tmp_path):
+    """VERDICT r2/r3 carried ask: behavioral contract for the (dead,
+    jar-less) Iceberg DSv2 branch, pinned against the parquet fallback:
+
+    * nesting ORDER — identity partition columns come before the bucket
+      transform, exactly as `PARTITIONED BY (cell_prefix, bucket(8,
+      url))` lays out data files;
+    * bucket→row MAPPING frozen — pmod(xxhash64(url), 8) goldens below
+      were computed once and hardcoded, so a silent hash-family or
+      seed change (which would scatter files differently than the
+      manifest promises) fails here, not in production;
+    * one file per (partition, bucket) leaf.
+    """
+    import glob
+    import os
+
+    import pandas as pd
+
+    from gips_spark.sources import catalog
+
+    # frozen goldens: url -> pmod(xxhash64(url), 8) (Spark seed 42)
+    golden = {
+        "https://site0.example.com/page": 1,
+        "https://site1.example.com/page": 3,
+        "https://site2.example.com/page": 5,
+        "https://site3.example.com/page": 2,
+        "https://site4.example.com/page": 7,
+        "https://site5.example.com/page": 2,
+        "https://site6.example.com/page": 7,
+        "https://site7.example.com/page": 6,
+        "https://site8.example.com/page": 6,
+        "https://site9.example.com/page": 3,
+        "https://site10.example.com/page": 0,
+        "https://site11.example.com/page": 5,
+    }
+    pdf = pd.DataFrame(
+        {
+            "url": list(golden) * 2,
+            "cell_prefix": [10] * 12 + [20] * 12,
+            "v": range(24),
+        }
+    )
+    out = str(tmp_path / "contract")
+    eng = catalog.write_table(
+        spark,
+        spark.createDataFrame(pdf),
+        out,
+        partition_cols=("cell_prefix",),
+        mode="overwrite",
+        bucket_by=(8, "url"),
+    )
+    assert eng == "parquet"
+
+    # nesting order: cell_prefix FIRST, url_bucket nested under it
+    pdirs = sorted(glob.glob(os.path.join(out, "cell_prefix=*")))
+    assert [os.path.basename(p) for p in pdirs] == [
+        "cell_prefix=10", "cell_prefix=20"
+    ]
+    seen_buckets = set()
+    for p in pdirs:
+        bdirs = sorted(glob.glob(os.path.join(p, "url_bucket=*")))
+        assert bdirs, f"no bucket level under {p}"
+        for b in bdirs:
+            files = glob.glob(os.path.join(b, "*.parquet"))
+            assert len(files) == 1, (b, files)  # one file per leaf
+            seen_buckets.add(int(os.path.basename(b).split("=")[1]))
+    assert seen_buckets == set(golden.values())
+
+    # bucket→row mapping matches the frozen goldens exactly
+    back = spark.read.parquet(out).select("url", "url_bucket").toPandas()
+    got = dict(zip(back["url"], back["url_bucket"].astype(int)))
+    assert got == golden
