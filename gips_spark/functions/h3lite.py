@@ -457,18 +457,56 @@ def polyfill_convex(poly_lonlat: np.ndarray, res: int = 7) -> np.ndarray:
     slat = np.concatenate([gg[0].ravel(), poly[:, 1]])
     slon = np.concatenate([gg[1].ravel(), poly[:, 0]])
     sampled = np.unique(latlng_to_cell(slat, slon, res))
+    return _close_and_canonicalize(sampled, res)
+
+
+def _close_and_canonicalize(sampled: np.ndarray, res: int) -> np.ndarray:
+    """7-neighborhood closure of directly-sampled cells + canonical-id
+    filter for the closure extras (shared by polyfill_convex and
+    polyfill_cap).
+
+    Liveness semantics: DIRECT samples are valid ids by construction
+    (they came out of latlng_to_cell) — near an icosahedron seam a
+    live cell's CENTER can fall on the neighboring face's side, so a
+    center-round-trip test must not be applied to them.  Closure
+    extras (never witnessed by a point) do get the round-trip filter,
+    which drops face-local re-encodings of the neighbor face's cells."""
     _, face, ci, cj = cell_to_local(sampled)
     offs = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1)])
     ii = (ci[:, None] + offs[None, :, 0]).ravel()
     jj = (cj[:, None] + offs[None, :, 1]).ravel()
     ff = np.repeat(face, len(offs))
     extra = np.unique(local_to_cell(ff, ii, jj, res))
-    # liveness semantics: DIRECT samples are valid ids by construction
-    # (they came out of latlng_to_cell) — near an icosahedron seam a
-    # live cell's CENTER can fall on the neighboring face's side, so a
-    # center-round-trip test must not be applied to them.  Closure
-    # extras (never witnessed by a point) do get the round-trip filter,
-    # which drops face-local re-encodings of the neighbor face's cells.
     el, eg = cell_to_latlng(extra)
     extra = extra[latlng_to_cell(el, eg, res) == extra]
     return np.unique(np.concatenate([sampled, extra]))
+
+
+def polyfill_cap(
+    lat_edge: float, res: int, north: bool, extra_lonlat: np.ndarray | None = None
+) -> np.ndarray:
+    """Candidate cells for a POLAR CAP poleward of `lat_edge` (superset,
+    same closure/tolerance semantics as polyfill_convex).  Sampling is
+    lat-row based with the lon step widened by 1/cos(lat) so the count
+    per row stays bounded toward the pole (a fixed-degree lon grid at
+    0.45x pitch would put ~36k samples on EVERY row)."""
+    step = pitch_deg(res) * 0.45
+    m = 2.0 * pitch_deg(res)
+    if north:
+        lats = np.arange(min(lat_edge - m, 89.99), 89.99, step)
+    else:
+        lats = -np.arange(min(-lat_edge - m, 89.99), 89.99, step)
+    sl, sg = [], []
+    for la in lats:
+        c = max(np.cos(np.radians(la)), 1e-9)
+        n = max(4, int(np.ceil(360.0 / min(120.0, step / c))))
+        sl.append(np.full(n, la))
+        sg.append(np.linspace(-180.0, 180.0, n, endpoint=False))
+    # the pole itself (arange stops short of it)
+    sl.append(np.array([89.99 if north else -89.99]))
+    sg.append(np.array([0.0]))
+    if extra_lonlat is not None:
+        sl.append(np.asarray(extra_lonlat[:, 1], dtype=np.float64))
+        sg.append(np.asarray(extra_lonlat[:, 0], dtype=np.float64))
+    sampled = np.unique(latlng_to_cell(np.concatenate(sl), np.concatenate(sg), res))
+    return _close_and_canonicalize(sampled, res)

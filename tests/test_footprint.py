@@ -240,9 +240,81 @@ def test_footprint_concave_wrapped_high_lat():
     _check_cover_against_oracle(poly, min_cells=10)
 
 
-def test_footprint_pole_crossing_rejected():
+def _dense_oracle_polar(poly: np.ndarray, north: bool, res: int = 7,
+                        step_lat: float = 0.002, step_lon: float = 0.05):
+    """Dense-grid per-cell cap areas: membership by even-odd ray cast in
+    the LAEA plane (projection independent of the clip kernel's use of
+    it only in the sense of sharing the formula; membership logic and
+    sampling are fully independent), weights = exact spherical patch
+    areas R²·dλ·dφ·cosφ."""
+    from gips_spark.functions.geom import PreparedPolygon
+
+    qx, qy = footprint._laea_xy(poly[:, 0], poly[:, 1], north)
+    prep = PreparedPolygon([list(zip(qx, qy))])
+    if north:
+        lat_s = np.arange(poly[:, 1].min() - 0.05, 90.0, step_lat)
+    else:
+        lat_s = np.arange(-90.0 + step_lat, poly[:, 1].max() + 0.05, step_lat)
+    lon_s = np.arange(-180.0, 180.0, step_lon)
+    gg = np.meshgrid(lat_s, lon_s)
+    la, lo = gg[0].ravel(), gg[1].ravel()
+    px, py = footprint._laea_xy(lo, la, north)
+    keep = prep.contains_chunked(px, py)
+    la, lo = la[keep], lo[keep]
+    ids = h3lite.latlng_to_cell(la, lo, res)
+    r = 6371008.8
+    w = np.radians(step_lat) * np.radians(step_lon) * r * r * np.cos(np.radians(la))
+    uq, inv = np.unique(ids, return_inverse=True)
+    sums = np.bincount(inv, weights=w)
+    total = float(w.sum())
+    return dict(zip(uq.tolist(), sums.tolist())), total
+
+
+def _check_polar_cover(poly: np.ndarray, north: bool, min_cells: int = 50):
+    rows = footprint._cover_one(_wkt(poly), 7)
+    assert len(rows) >= min_cells
+    oracle, cap_area = _dense_oracle_polar(poly, north)
+    a_sum = sum(r[2] for r in rows)
+    # tessellation: pieces sum to the cap area (same ~0.5% seam budget
+    # as the face-interior paths) and pcov sums to 1
+    assert abs(a_sum / cap_area - 1.0) < 0.005, (a_sum, cap_area)
+    assert abs(sum(r[3] for r in rows) - 1.0) < 0.005
+    # per-cell: discretization band of the 0.002° oracle grid
+    band = 2400.0 * 0.002 * 111_320 * 0.7
+    for r in rows:
+        cell, a = int(r[1]), float(r[2])
+        if a < 2e5:
+            continue
+        w = oracle.get(cell, 0.0)
+        assert abs(a - w) <= max(0.03 * max(a, w), 1.2 * band), (cell, a, w)
+
+
+def test_footprint_north_pole_cap_vs_dense_oracle():
+    """Round 4 (VERDICT r3 next #7): a dense-vertex wavy ring WINDING
+    the north pole — the former ValueError exclusion — is handled via
+    the Lambert azimuthal equal-area frame and matches the dense-grid
+    spherical oracle per cell, with exact tessellation sums."""
+    t = np.linspace(0.0, 2.0 * np.pi, 49)[:-1]
+    lon = np.degrees(t) - 180.0
+    lat = 88.75 + 0.12 * np.sin(3.0 * t)  # wavy (concave in LAEA) ring
+    poly = np.column_stack([lon, lat])
+    assert abs(footprint._winding_deg(poly[:, 0])) > 350.0
+    _check_polar_cover(poly, north=True)
+
+
+def test_footprint_south_pole_triangle():
+    """Coarse 3-vertex ring winding the SOUTH pole (the old rejection
+    fixture, mirrored + shrunk): polar path, dense-oracle checked."""
+    poly = np.array([[0.0, -88.8], [120.0, -88.8], [-120.0, -88.8]])
+    _check_polar_cover(poly, north=False, min_cells=20)
+
+
+def test_footprint_wide_nonwinding_still_rejected():
+    """A ring spanning >180° lon that does NOT wind a pole stays out of
+    domain (cannot be unwrapped into a continuous frame)."""
     import pytest
 
-    poly = np.array([[0.0, 85.0], [120.0, 85.0], [-120.0, 85.0]])
-    with pytest.raises(ValueError, match="pole-crossing"):
+    poly = np.array([[-100.0, 0.0], [0.0, 1.0], [100.0, 0.0], [0.0, -1.0]])
+    assert abs(footprint._winding_deg(poly[:, 0])) < 1.0
+    with pytest.raises(ValueError, match="unsupported ring shape"):
         footprint._cover_one(_wkt(poly), 7)
