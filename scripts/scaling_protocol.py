@@ -8,17 +8,30 @@ hardest), so raw medians mix machine weather into the scaling statistic
 — round-1 medians showed 0.18 efficiency while healthy-window pairs
 showed ≥1.0.  This protocol systematizes "healthy window":
 
-ACCEPTANCE RULE (stated in BENCH/BASELINE.md with the results):
-  * A *canary* — a fixed-cost 8-process CPU+pipe workload with no Spark
-    — runs before, between, and after the two trials of each
-    interleaved (N, 4N) pair.
-  * Session floor = min canary time over the whole session (noise only
-    ever ADDS time, so the floor estimates the clean-machine cost).
-  * A pair is ACCEPTED iff all three flanking canaries are within
-    CANARY_TOL × floor (default 1.25).
-  * Efficiency per accepted pair = (t_N / t_4N) / 4; the REPORTED
-    statistic is the median over accepted pairs; all trials (accepted
-    and rejected) are listed.
+ACCEPTANCE RULES (stated in BENCH/BASELINE.md with the results):
+
+v1 (rounds 1–3): a pair is accepted iff ALL THREE flanking canaries
+  (before / between / after) are ≤ CANARY_TOL × session floor.
+  Round-3 result: 0/31 pairs accepted — the host's 2–15 s gusts recur
+  every 3–5 min, so three consecutive clean canaries around a
+  4–9-minute pair essentially never happen.  The max-of-3 estimator is
+  an ALL-quantile of ~5 gust opportunities; it measures gust cadence,
+  not pair quality.
+
+v2 (round 4, PRE-REGISTERED in this commit BEFORE any v2 run — the
+  VERDICT r3 next #4 amendment): each pair is flanked by FIVE canaries
+  (two before t_N, one between, two after t_4N); the pair is accepted
+  iff the MEDIAN of the five is ≤ CANARY_TOL × session floor.  A
+  transient gust that hits ≤2 of the 5 sentinels no longer vetoes the
+  pair, while a degraded WINDOW (gusts covering most of the pair) still
+  rejects it — the median tests the typical host state across the
+  pair, which is what actually contaminates the trial times.
+
+Common to both: session floor = min canary over the whole session
+(noise only ever ADDS time, so the floor estimates the clean-machine
+cost); efficiency per pair = (t_N / t_4N) / 4; the REPORTED statistic
+is the median over accepted pairs; ALL pairs (accepted and rejected)
+are listed.
 
 Modes: --master-pair local (local[8] vs local[32], threads in one JVM)
 or local-cluster (local-cluster[2,4,3072] vs local-cluster[8,4,3072] —
@@ -148,7 +161,18 @@ def main():
              " (16 B/row Arrow traffic — isolates the engine's scaling from"
              " the host's shared-kernel socket channel)",
     )
+    ap.add_argument(
+        "--rule", choices=["v1", "v2"], default="v2",
+        help="acceptance rule: v1 = max of 3 flanking canaries ≤ tol×floor"
+             " (rounds 1-3); v2 = MEDIAN of 5 flanking canaries ≤ tol×floor"
+             " (round-4 amendment, pre-registered before any v2 run)",
+    )
     args = ap.parse_args()
+
+    def _accept(canaries: list[float], floor: float) -> bool:
+        if args.rule == "v1":
+            return max(canaries) <= args.tol * floor
+        return statistics.median(canaries) <= args.tol * floor
 
     if args.mode == "local":
         n = args.cores
@@ -190,23 +214,28 @@ def main():
         # for pristine canaries starves the sample.  Back-to-back (N,
         # 4N) trials share weather common-mode; the flanking canaries
         # decide acceptance afterwards.
-        c0 = canary_seconds()
-        r8 = run_trial(masters[0][0], masters[0][1], cache, args.workload)
-        c1 = canary_seconds()
-        r32 = run_trial(masters[1][0], masters[1][1], cache, args.workload)
-        c2 = canary_seconds()
-        canaries_all += [c0, c1, c2]
+        if args.rule == "v1":
+            cs = [canary_seconds()]
+            r8 = run_trial(masters[0][0], masters[0][1], cache, args.workload)
+            cs.append(canary_seconds())
+            r32 = run_trial(masters[1][0], masters[1][1], cache, args.workload)
+            cs.append(canary_seconds())
+        else:
+            cs = [canary_seconds(), canary_seconds()]
+            r8 = run_trial(masters[0][0], masters[0][1], cache, args.workload)
+            cs.append(canary_seconds())
+            r32 = run_trial(masters[1][0], masters[1][1], cache, args.workload)
+            cs += [canary_seconds(), canary_seconds()]
+        canaries_all += cs
         pairs.append(
-            {"round": rnd, "canaries": [c0, c1, c2], "t8": r8["sec"],
+            {"round": rnd, "canaries": cs, "t8": r8["sec"],
              "t32": r32["sec"], "rows": r8["rows"]}
         )
         floor = min(canaries_all)
-        accepted = [
-            p for p in pairs if max(p["canaries"]) <= args.tol * floor
-        ]
+        accepted = [p for p in pairs if _accept(p["canaries"], floor)]
         print(
-            f"round {rnd}: canaries {c0:.2f}/{c1:.2f}/{c2:.2f} floor {floor:.2f} "
-            f"t8 {r8['sec']:.1f} t32 {r32['sec']:.1f} "
+            f"round {rnd}: canaries {'/'.join(f'{c:.2f}' for c in cs)} "
+            f"floor {floor:.2f} t8 {r8['sec']:.1f} t32 {r32['sec']:.1f} "
             f"eff {(r8['sec'] / r32['sec']) / 4:.2f} accepted so far {len(accepted)}",
             flush=True,
         )
@@ -215,21 +244,27 @@ def main():
 
     floor = min(canaries_all)
     for p in pairs:
-        p["accepted"] = max(p["canaries"]) <= args.tol * floor
+        p["accepted"] = _accept(p["canaries"], floor)
         p["eff"] = (p["t8"] / p["t32"]) / 4.0
     accepted = [p for p in pairs if p["accepted"]]
     med_eff = statistics.median([p["eff"] for p in accepted]) if accepted else None
     rows = pairs[0]["rows"]
 
+    rule_txt = (
+        "all three flanking canary runs are"
+        if args.rule == "v1"
+        else "the MEDIAN of the five flanking canary runs (2 before, 1 "
+        "between, 2 after) is"
+    )
     lines = [
         "",
-        f"## Canary-gated scaling protocol ({args.mode} mode, ({masters[0][1]},{masters[1][1]}) cores, {args.workload} workload, {rows:,} rows, assign single-pass)",
+        f"## Canary-gated scaling protocol [{args.rule}] ({args.mode} mode, ({masters[0][1]},{masters[1][1]}) cores, {args.workload} workload, {rows:,} rows, assign single-pass)",
         "",
-        "Acceptance rule (pre-registered, scripts/scaling_protocol.py): a",
-        "(N, 4N) interleaved pair counts iff all three flanking canary runs",
-        f"(fixed 8-process CPU+pipe workload, no Spark) are ≤ {args.tol}× the",
-        "session-floor canary time; reported efficiency = MEDIAN over",
-        "accepted pairs of (t_N / t_4N) / 4.  All pairs listed:",
+        f"Acceptance rule {args.rule} (pre-registered, scripts/scaling_protocol.py): a",
+        f"(N, 4N) interleaved pair counts iff {rule_txt}",
+        f"≤ {args.tol}× the session-floor canary time (fixed 8-process CPU+pipe",
+        "workload, no Spark); reported efficiency = MEDIAN over accepted",
+        "pairs of (t_N / t_4N) / 4.  All pairs listed:",
         "",
         "| round | canaries (s) | t@N s | t@4N s | eff | accepted |",
         "|---|---|---|---|---|---|",
@@ -251,9 +286,9 @@ def main():
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    with open(os.path.join(REPO, "BENCH", f"scaling_pairs_{args.mode}_{args.workload}_{masters[0][1]}x4_{rows}.json"), "w") as f:
-        json.dump({"floor": floor, "tol": args.tol, "rows": rows,
-                   "pairs": pairs}, f, indent=1)
+    with open(os.path.join(REPO, "BENCH", f"scaling_pairs_{args.rule}_{args.mode}_{args.workload}_{masters[0][1]}x4_{rows}.json"), "w") as f:
+        json.dump({"rule": args.rule, "floor": floor, "tol": args.tol,
+                   "rows": rows, "pairs": pairs}, f, indent=1)
     print(json.dumps({"floor": floor, "median_eff": med_eff,
                       "accepted": len(accepted), "pairs": len(pairs)}))
 
