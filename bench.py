@@ -103,7 +103,11 @@ def main():
             pages, salt_target_rows=max(1000, n_rows // 200), salt_sample=0.02
         ).drop("extracted_text").write.mode("overwrite").parquet(enr_out)
 
-    trials["assign"] = _best_of(_assign_once)
+    # best-of-3 for the two weather-sensitive stages (assign's Arrow
+    # channel is syscall-bound, knn mixes driver + shuffle work): host
+    # gusts recur every 3-5 min, so a third trial materially raises the
+    # odds one lands clean; min-of-N stays the least biased estimate
+    trials["assign"] = _best_of(_assign_once, trials=3)
 
     enr = spark.read.parquet(enr_out).persist()
     n_enr = enr.count()
@@ -133,7 +137,8 @@ def main():
     # c) exact kNN, 100 queries
     queries = fixtures.gen_knn_queries(spark)
     trials["knn"] = _best_of(
-        lambda: _materialize(knn.knn_join(spark, enr, queries, directory))
+        lambda: _materialize(knn.knn_join(spark, enr, queries, directory)),
+        trials=3,
     )
 
     # d) zonal: products + stats over extents (raster fixture pre-cached —
