@@ -739,6 +739,51 @@ def _q_footprint_cover(spark, sf_dir):
     )
 
 
+#: deterministic pole-winding footprints (round 4 — polar LAEA path):
+#: a 48-vertex wavy ring around the north pole and a coarse triangle
+#: winding the south pole.  Engine-defined H3 ids → frozen-pin oracle
+#: (same policy as footprint_cover; scripts/gen_pins.py).
+def _polar_wkts():
+    import numpy as np
+
+    t = np.linspace(0.0, 2.0 * np.pi, 49)[:-1]
+    lon = np.degrees(t) - 180.0
+    lat = 89.3 + 0.08 * np.sin(3.0 * t)
+    pts = ", ".join(f"{lo:.6f} {la:.6f}" for lo, la in zip(lon, lat))
+    north = f"POLYGON (({pts}, {lon[0]:.6f} {lat[0]:.6f}))"
+    south = "POLYGON ((0.0 -89.3, 120.0 -89.3, -120.0 -89.3, 0.0 -89.3))"
+    return north, south
+
+
+def _q_footprint_polar(spark, sf_dir):
+    """J1 area-weighted over POLE-ENCLOSING rings (the round-4 LAEA
+    path, VERDICT r3 next #7): per-cell cap coverage for a wavy
+    north-pole ring + a south-pole triangle.  Engine-defined H3 ids →
+    frozen-pin oracle; the area kernel itself is pinned by the
+    dense-grid spherical oracles in tests/test_footprint.py."""
+    import pandas as pd
+
+    from gips_spark.operators import footprint
+
+    north, south = _polar_wkts()
+    scenes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "scene_id": ["POLAR_N_001", "POLAR_S_001"],
+                "footprint_wkt": [north, south],
+            }
+        )
+    )
+    cov = footprint.footprint_cover(spark, scenes)
+    return cov.select(
+        "scene_id",
+        "h3_7",
+        F.round("a_m2", 2).alias("a_m2"),
+        F.round("pcov", 6).alias("pcov"),
+        F.round("ptile", 6).alias("ptile"),
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate CLUSTERS via distributed connected
     components (min-label propagation); component = canonical doc id.
@@ -898,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_anchor_tokens": _q_s2_anchor_tokens,
         "qa_mask_unpack": _q_qa_unpack,
         "footprint_cover": _q_footprint_cover,
+        "footprint_polar": _q_footprint_polar,
         "json_extract_agg": _q_json_extract,
         "percentile_value": _q_percentiles,
         "conditional_agg": _q_conditional_agg,
@@ -1328,5 +1374,9 @@ def oracle_sql() -> dict[str, str]:
         "footprint_cover": (
             "SELECT scene_id, h3_7, a_m2, pcov, ptile "
             f"FROM read_parquet('{_PIN_DIR}/footprint_cover.parquet')"
+        ),
+        "footprint_polar": (
+            "SELECT scene_id, h3_7, a_m2, pcov, ptile "
+            f"FROM read_parquet('{_PIN_DIR}/footprint_polar.parquet')"
         ),
     }

@@ -198,6 +198,7 @@ def ivf_topk(
     sample_rows: int | None = None,
     n_rows: int | None = None,
     refine_iters: int = 2,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k (same output schema as brute force).
 
@@ -258,7 +259,12 @@ def ivf_topk(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
     ).withColumn("probe", probe_centroids(F.col("qv")))
     qx = q.select("query_id", "qv", F.explode("probe").alias("cent"))
-    joined = v.join(F.broadcast(qx), "cent").withColumn(
+    # broadcast is right for interactive query counts; a huge query
+    # BATCH (10^6+, n_probe-exploded) should shuffle on cent instead —
+    # pass broadcast_queries=False and both sides hash-join on cent
+    if broadcast_queries:
+        qx = F.broadcast(qx)
+    joined = v.join(qx, "cent").withColumn(
         "cosine", _cosine_expr("v", "qv")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())

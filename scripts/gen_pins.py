@@ -31,6 +31,7 @@ SF_DIR = "/root/testdata/sf0.01"
 PINNED = {
     "cell_counts_h3": ["h3_7", "n"],
     "footprint_cover": ["scene_id", "h3_7", "a_m2", "pcov", "ptile"],
+    "footprint_polar": ["scene_id", "h3_7", "a_m2", "pcov", "ptile"],
 }
 
 
