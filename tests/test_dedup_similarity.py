@@ -310,3 +310,25 @@ def test_kmeans_vectorized_update_matches_loop():
         if msk.any():
             want[ci] = sample[msk].mean(axis=0)
     assert np.allclose(got, want)
+
+
+def test_ivf_shuffle_join_variant_matches_broadcast(spark):
+    """broadcast_queries=False (huge-query-batch posture: hash join on
+    cent instead of a driver broadcast) returns identical results."""
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((60, 8))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"qid": ["A", "B"], "qv": [vecs[3].tolist(), vecs[40].tolist()]})
+    )
+    kw = dict(k=5, n_centroids=4, n_probe=4, sample_rows=60)
+    a = similarity.ivf_topk(
+        spark, df, q, "vec_id", "embedding", "qid", "qv", **kw
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = similarity.ivf_topk(
+        spark, df, q, "vec_id", "embedding", "qid", "qv",
+        broadcast_queries=False, **kw
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
