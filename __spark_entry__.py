@@ -810,6 +810,43 @@ def _q_minhash_pairs(spark, sf_dir):
     )
 
 
+def _q_incr_exact_dedup(spark, sf_dir):
+    """Incremental corpus dedup (round 4): even doc_ids form the indexed
+    CORPUS, odd doc_ids the new batch; every batch doc maps to its
+    canonical (corpus min-id if the normalized text already exists,
+    else batch min-id).  Corpus text is never rescanned — only the
+    persisted 128-bit key index joins.  Independent SQL oracle via
+    text-equality semantics."""
+    from gips_spark.operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    keys, _ = dedup.build_dedup_index(corpus, "doc_id", "text")
+    out = dedup.incremental_exact_dedup(keys, batch, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("canonical_id").cast("long")
+    )
+
+
+def _q_incr_minhash(spark, sf_dir):
+    """Incremental minhash near-dup candidates vs the persisted corpus
+    band table (rows-only: hash-function-defined → frozen pin)."""
+    from gips_spark.operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    _, bands_tbl = dedup.build_dedup_index(corpus, "doc_id", "text")
+    return dedup.incremental_minhash_candidates(
+        bands_tbl, batch, "doc_id", "text", threshold=0.8
+    ).select(
+        F.col("new_id").cast("long"),
+        F.col("corpus_id").cast("long"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (rows-only: hash-function-defined)."""
     from gips_spark.operators import dedup
@@ -954,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "lag_lead_nav": _q_lag_lead,
         "minhash_pairs": _q_minhash_pairs,
+        "incr_exact_dedup": _q_incr_exact_dedup,
+        "incr_minhash": _q_incr_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "acca_classes": _q_acca_classes,
@@ -962,6 +1001,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 #: Frozen sf0.01 outputs of the hash-family-defined pair queries
 #: (regression pins; see oracle_sql comments).
+_INCR_MINHASH_PIN = [
+    (87, 134, 0.9844), (245, 8, 1.0), (293, 58, 0.9688), (295, 374, 0.9688),
+    (323, 166, 1.0), (377, 72, 0.9844), (389, 310, 0.9844), (393, 420, 0.9844),
+    (435, 486, 0.9844), (447, 70, 0.9844), (455, 26, 0.9063), (457, 326, 1.0),
+]
 _MINHASH_PIN = [
     (8, 245, 1.0), (26, 455, 0.9063), (31, 383, 0.9531), (44, 446, 0.9531),
     (45, 267, 0.9688), (45, 413, 1.0), (58, 293, 0.9688), (61, 185, 1.0),
@@ -1264,6 +1308,26 @@ def oracle_sql() -> dict[str, str]:
         # REGRESSION PINS frozen from the engine's deterministic output
         # at sf0.01 (the gate's fixed input), cross-validated separately
         # by the pytest brute-force/pigeonhole suites (test_dedup_*).
+        "incr_exact_dedup": r"""
+            WITH corpus AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+                            FROM documents WHERE doc_id % 2 = 0),
+                 batch AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+                           FROM documents WHERE doc_id % 2 = 1),
+                 ck AS (SELECT nt, min(doc_id) AS corpus_canon FROM corpus GROUP BY nt),
+                 bk AS (SELECT nt, min(doc_id) AS batch_canon FROM batch GROUP BY nt)
+            SELECT b.doc_id AS doc_id,
+                   CAST(coalesce(ck.corpus_canon, bk.batch_canon) AS BIGINT) AS canonical_id
+            FROM batch b JOIN bk USING (nt) LEFT JOIN ck USING (nt)
+        """,
+        "incr_minhash": (
+            "SELECT CAST(new_id AS BIGINT) AS new_id, CAST(corpus_id AS BIGINT) AS corpus_id,"
+            " CAST(jaccard_est AS DOUBLE) AS jaccard_est FROM (VALUES "
+            + ",".join(
+                f"({a},{b},{j})"
+                for a, b, j in _INCR_MINHASH_PIN
+            )
+            + ") t(new_id, corpus_id, jaccard_est)"
+        ),
         "minhash_pairs": (
             "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
             " CAST(jaccard_est AS DOUBLE) AS jaccard_est FROM (VALUES "

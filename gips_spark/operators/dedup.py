@@ -382,6 +382,164 @@ def embedding_dedup_pairs(
     )
 
 
+# ------------------------------------------- incremental (corpus) dedup
+#
+# The daily-ingest shape at 10^12 scale: a new crawl batch is deduped
+# against an INDEXED existing corpus without ever rescanning corpus
+# text.  The persisted index is (a) a 128-bit exact-key table and (b)
+# the LSH band-bucket table — both plain DataFrames a pipeline writes
+# via sources.catalog.write_table(bucket_by=(n, "tkey1") / (n, "bkey"))
+# so tomorrow's batch join is bucket-co-located.
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-side dedup index: (exact_keys, band_table).
+
+    exact_keys: (tkey1, tkey2, canonical_id) — ONE row per distinct
+    normalized text (canonical = min id), so the index is a fraction of
+    corpus size and append-only under incremental ingest.
+    band_table: (band, bkey, id, sig) — the same banded signatures
+    minhash_lsh_pairs buckets on, persisted."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    keys = _dedup_key_exprs(norm)
+    keyed = df.select(
+        F.col(id_col).alias("id"), *[k.alias(n) for k, n in zip(keys, ["tkey1", "tkey2"])]
+    )
+    exact_keys = keyed.groupBy("tkey1", "tkey2").agg(
+        F.min("id").alias("canonical_id")
+    )
+
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle)
+    with_sig = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    ).withColumn("sig", sig(F.col("t")))
+    band_table = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"), "id", "sig"
+    )
+    return exact_keys, band_table
+
+
+def incremental_exact_dedup(
+    corpus_keys: DataFrame, new_docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """→ (id, canonical_id) for EVERY new-batch doc: canonical is the
+    corpus canonical when the normalized text already exists there,
+    else the batch minimum id.  Survivors (rows to append to corpus +
+    index) are ``id == canonical_id``.
+
+    Plan: one shuffle of the batch on the 128-bit key (tiny vs corpus),
+    one equi-join against the persisted key index — corpus TEXT is
+    never rescanned, and with the index bucketed on tkey1 the join is
+    co-located."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    keys = _dedup_key_exprs(norm)
+    keyed = new_docs.select(
+        F.col(id_col).alias("id"), *[k.alias(n) for k, n in zip(keys, ["tkey1", "tkey2"])]
+    )
+    batch_canon = keyed.groupBy("tkey1", "tkey2").agg(
+        F.min("id").alias("batch_canon")
+    )
+    corpus = corpus_keys.select(
+        "tkey1", "tkey2", F.col("canonical_id").alias("corpus_canon")
+    )
+    return (
+        keyed.join(batch_canon, ["tkey1", "tkey2"])
+        .join(corpus, ["tkey1", "tkey2"], "left")
+        .select(
+            "id",
+            F.coalesce("corpus_canon", F.col("batch_canon")).alias("canonical_id"),
+        )
+    )
+
+
+def incremental_minhash_candidates(
+    corpus_bands: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle: int = 5,
+) -> DataFrame:
+    """→ (new_id, corpus_id, jaccard_est): near-dup candidates of the
+    new batch AGAINST the persisted corpus band table — band-bucket
+    equi-join (never all-pairs), exact signature agreement on the
+    colliding pairs only.  Same banding parameters as the index build
+    (caller contract)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle)
+    with_sig = new_docs.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("t")
+    ).withColumn("sig_n", sig(F.col("t")))
+    banded = with_sig.select(
+        "new_id",
+        "sig_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig_n", bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("new_id", "sig_n", "bb.band", "bb.bkey")
+    cand = (
+        banded.join(
+            corpus_bands.select(
+                F.col("band").alias("band"),
+                F.col("bkey").alias("bkey"),
+                F.col("id").alias("corpus_id"),
+                F.col("sig").alias("sig_c"),
+            ),
+            ["band", "bkey"],
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_n", "sig_c", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / num_perm
+    )
+    return (
+        cand.withColumn("jaccard_est", est)
+        .where(F.col("jaccard_est") >= threshold)
+        .select("new_id", "corpus_id", "jaccard_est")
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 20, check_every: int = 1
 ) -> DataFrame:

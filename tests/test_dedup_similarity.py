@@ -332,3 +332,73 @@ def test_ivf_shuffle_join_variant_matches_broadcast(spark):
         broadcast_queries=False, **kw
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_incremental_exact_dedup_vs_oracle(spark):
+    """Incremental (corpus-indexed) exact dedup == text-equality oracle:
+    canonical is the corpus min-id when the normalized text exists in
+    the corpus, else the batch min-id; corpus text never rescanned."""
+    import re
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                "alpha beta", "ALPHA  beta ", "gamma", "delta", "epsilon",
+                "zeta", "alpha beta", "gamma", "eta", "  zeta", "theta", "eta",
+            ],
+        }
+    )
+    corpus_pdf = pdf[pdf["doc_id"] % 2 == 0]
+    batch_pdf = pdf[pdf["doc_id"] % 2 == 1]
+    corpus = spark.createDataFrame(corpus_pdf)
+    batch = spark.createDataFrame(batch_pdf)
+
+    keys, bands_tbl = dedup.build_dedup_index(corpus, "doc_id", "text")
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in dedup.incremental_exact_dedup(keys, batch, "doc_id", "text").collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t).strip().lower()
+
+    ctab = {}
+    for _, r in corpus_pdf.iterrows():
+        ctab.setdefault(norm(r["text"]), r["doc_id"])  # min id (sorted input)
+    btab = {}
+    for _, r in batch_pdf.iterrows():
+        btab.setdefault(norm(r["text"]), r["doc_id"])
+    want = {
+        int(r["doc_id"]): int(ctab.get(norm(r["text"]), btab[norm(r["text"])]))
+        for _, r in batch_pdf.iterrows()
+    }
+    assert got == want
+    # survivors (id == canonical) are exactly the batch-new texts
+    survivors = {i for i, c in got.items() if i == c}
+    want_surv = {i for i, c in want.items() if i == c}
+    assert survivors == want_surv == {3, 5}  # delta, zeta are corpus-new
+
+
+def test_incremental_minhash_vs_full_pairs(spark, documents=None):
+    """Corpus-indexed minhash candidates == the (batch × corpus) subset
+    of minhash_lsh_pairs over the union (same banding, same threshold)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(400)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    _, bands_tbl = dedup.build_dedup_index(corpus, "doc_id", "text")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in dedup.incremental_minhash_candidates(
+            bands_tbl, batch, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    want = set()
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 == 0 and b % 2 == 1:
+            want.add((b, a))
+        elif a % 2 == 1 and b % 2 == 0:
+            want.add((a, b))
+    assert got == want
