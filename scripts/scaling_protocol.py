@@ -18,14 +18,28 @@ v1 (rounds 1–3): a pair is accepted iff ALL THREE flanking canaries
   an ALL-quantile of ~5 gust opportunities; it measures gust cadence,
   not pair quality.
 
-v2 (round 4, PRE-REGISTERED in this commit BEFORE any v2 run — the
+v2 (round 4, PRE-REGISTERED in commit ba78125 BEFORE any v2 run — the
   VERDICT r3 next #4 amendment): each pair is flanked by FIVE canaries
   (two before t_N, one between, two after t_4N); the pair is accepted
   iff the MEDIAN of the five is ≤ CANARY_TOL × session floor.  A
   transient gust that hits ≤2 of the 5 sentinels no longer vetoes the
   pair, while a degraded WINDOW (gusts covering most of the pair) still
-  rejects it — the median tests the typical host state across the
-  pair, which is what actually contaminates the trial times.
+  rejects it.  Round-4 v2 sessions exposed the remaining failure mode:
+  FLOOR-LUCK — one pristine 0.40s canary reading set a 0.50s bar the
+  ~1-1.6s ambient baseline never met (0/12 and 0/8 accepted while the
+  unconditional efficiency medians were 0.83/0.84).
+
+v3 (round 4, PRE-REGISTERED in this commit BEFORE any v3 run): same
+  five flanking canaries and median test, but the reference is the
+  25TH PERCENTILE of ALL session canaries instead of the minimum:
+  accept iff median(5 flanking) ≤ CANARY_TOL × p25(session canaries).
+  p25 is robust on both sides — a single lucky minimum cannot poison
+  the bar (the v2 mode), and gusts sit above p25 so they cannot
+  inflate it either.  The bar now tracks the session's TYPICAL clean
+  state, which is exactly the baseline the flanking medians are
+  compared against.  Retrospectively applied to the round-4 v2 data
+  (disclosed as retrospective, NOT certified): local 2/12 accepted,
+  effs 0.80/0.91; local-cluster 2/8, effs 0.85/0.85.
 
 Common to both: session floor = min canary over the whole session
 (noise only ever ADDS time, so the floor estimates the clean-machine
@@ -162,12 +176,20 @@ def main():
              " the host's shared-kernel socket channel)",
     )
     ap.add_argument(
-        "--rule", choices=["v1", "v2"], default="v2",
+        "--rule", choices=["v1", "v2", "v3"], default="v3",
         help="acceptance rule: v1 = max of 3 flanking canaries ≤ tol×floor"
-             " (rounds 1-3); v2 = MEDIAN of 5 flanking canaries ≤ tol×floor"
-             " (round-4 amendment, pre-registered before any v2 run)",
+             " (rounds 1-3); v2 = MEDIAN of 5 flanking canaries ≤ tol×floor;"
+             " v3 = MEDIAN of 5 flanking canaries ≤ tol×p25(session"
+             " canaries) (each amendment pre-registered before its runs)",
     )
     args = ap.parse_args()
+
+    def _ref(canaries_all: list[float]) -> float:
+        """The rule's reference level: min for v1/v2, p25 for v3."""
+        if args.rule == "v3":
+            k = max(0, int(0.25 * (len(canaries_all) - 1)))
+            return sorted(canaries_all)[k]
+        return min(canaries_all)
 
     def _accept(canaries: list[float], floor: float) -> bool:
         if args.rule == "v1":
@@ -231,7 +253,7 @@ def main():
             {"round": rnd, "canaries": cs, "t8": r8["sec"],
              "t32": r32["sec"], "rows": r8["rows"]}
         )
-        floor = min(canaries_all)
+        floor = _ref(canaries_all)
         accepted = [p for p in pairs if _accept(p["canaries"], floor)]
         print(
             f"round {rnd}: canaries {'/'.join(f'{c:.2f}' for c in cs)} "
@@ -242,7 +264,7 @@ def main():
         if len(accepted) >= args.target_accepted:
             break
 
-    floor = min(canaries_all)
+    floor = _ref(canaries_all)
     for p in pairs:
         p["accepted"] = _accept(p["canaries"], floor)
         p["eff"] = (p["t8"] / p["t32"]) / 4.0
@@ -256,13 +278,14 @@ def main():
         else "the MEDIAN of the five flanking canary runs (2 before, 1 "
         "between, 2 after) is"
     )
+    ref_txt = "p25 of all session canaries" if args.rule == "v3" else "session-floor canary time"
     lines = [
         "",
         f"## Canary-gated scaling protocol [{args.rule}] ({args.mode} mode, ({masters[0][1]},{masters[1][1]}) cores, {args.workload} workload, {rows:,} rows, assign single-pass)",
         "",
         f"Acceptance rule {args.rule} (pre-registered, scripts/scaling_protocol.py): a",
         f"(N, 4N) interleaved pair counts iff {rule_txt}",
-        f"≤ {args.tol}× the session-floor canary time (fixed 8-process CPU+pipe",
+        f"≤ {args.tol}× the {ref_txt} (fixed 8-process CPU+pipe",
         "workload, no Spark); reported efficiency = MEDIAN over accepted",
         "pairs of (t_N / t_4N) / 4.  All pairs listed:",
         "",
@@ -277,7 +300,7 @@ def main():
         )
     lines += [
         "",
-        f"Canary session floor: {floor:.2f}s.  Accepted pairs: {len(accepted)}/{len(pairs)}.",
+        f"Canary reference ({args.rule}): {floor:.2f}s.  Accepted pairs: {len(accepted)}/{len(pairs)}.",
         (
             f"**Median efficiency over accepted pairs: {med_eff:.2f}**"
             if med_eff is not None
