@@ -950,6 +950,103 @@ def _q_acca_classes(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# -- A3 pixel-wise / A4 mosaic driver queries (VERDICT r4 next #4) ----------
+#
+# Both kernels (operators/zonal.py:pixelwise_composite / :mosaic_first_
+# nonnodata) are pinned by pytest on the numpy raster fixtures, but those
+# fixtures are RNG-seeded and thus invisible to DuckDB.  For the driver
+# gate we build a SQL-derivable raster stack from the events table (the
+# acca_classes trick): the first 512 events (ordered by event_id) become
+# 16 slots x 32 pixels = 4 scenes x 2 chunk-windows x 2 dates.  Values are
+# quarter-quantized (floor(pval*4)/4 — dyadic, exactly representable in
+# the float32 pixels column, so the Arrow float32 round-trip is bit-exact
+# on both engines) with a -999.0 nodata sentinel on event_id % 7 == 0.
+
+_STACK_NODATA = -999.0
+
+
+def _stack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-derivable RASTER_SCHEMA stack from the first 512 events."""
+    from gips_spark.sources.fixtures import RASTER_SCHEMA
+
+    ev = _event_points(spark, sf_dir)
+    w = W.orderBy("event_id")
+    df = (
+        ev.withColumn("rn", F.row_number().over(w) - 1)
+        .where(F.col("rn") < 512)
+        .select(
+            (F.col("rn") % 32).cast("int").alias("pix"),
+            (F.floor(F.col("rn") / 32) % 2).cast("int").alias("chunk"),
+            (F.floor(F.floor(F.col("rn") / 32) / 2) % 4).cast("int").alias("scene"),
+            F.floor(F.floor(F.col("rn") / 32) / 8).cast("int").alias("dt"),
+            F.when(F.col("event_id") % 7 == 0, F.lit(_STACK_NODATA))
+            .otherwise(F.floor(F.col("pval") * 4.0) / 4.0)
+            .alias("val"),
+        )
+    )
+    g = df.groupBy("scene", "chunk", "dt").agg(
+        F.array_sort(F.collect_list(F.struct("pix", "val"))).alias("pv")
+    )
+    return g.select(
+        F.concat(F.lit("S"), F.col("scene"), F.lit("_"), F.col("dt")).alias("scene_id"),
+        F.lit("ndvi").alias("band"),
+        F.col("chunk").alias("chunk_id"),
+        F.lit(0).alias("x0"),
+        F.col("chunk").alias("y0"),
+        F.lit(32).alias("w"),
+        F.lit(1).alias("h"),
+        F.expr("transform(pv, s -> CAST(s.val AS FLOAT))").alias("pixels"),
+        F.lit(_STACK_NODATA).cast("float").alias("nodata"),
+        F.array(*[F.lit(0.0)] * 6).alias("gt"),
+    ).select(*RASTER_SCHEMA.fieldNames())
+
+
+_STACK_CTE_BODY = """
+    r AS (SELECT event_id, pval, row_number() OVER (ORDER BY event_id) - 1 AS rn
+          FROM pts QUALIFY rn < 512),
+    m AS (SELECT CAST(rn % 32 AS INT) AS pix,
+                 CAST(floor(rn / 32.0) AS INT) % 2 AS chunk,
+                 CAST(floor(floor(rn / 32.0) / 2.0) AS INT) % 4 AS scene,
+                 CAST(floor(floor(rn / 32.0) / 8.0) AS INT) AS dt,
+                 CASE WHEN event_id % 7 = 0 THEN -999.0
+                      ELSE floor(pval * 4.0) / 4.0 END AS val
+          FROM r)
+"""
+
+
+def _q_pixelwise_composite(spark, sf_dir):
+    """A3 pixel-wise variant through the REAL grouped-map kernel
+    (operators/zonal.py:pixelwise_composite): np.nanmax over all 8
+    scenes stacked per chunk window, nodata-aware; output exploded back
+    to (chunk_id, pix, val) rows for the DuckDB oracle."""
+    from gips_spark.operators import zonal
+
+    out = zonal.pixelwise_composite(_stack_chunks(spark, sf_dir), band="ndvi")
+    return out.select(
+        "chunk_id", F.posexplode("pixels").alias("pix", "v")
+    ).select(
+        "chunk_id",
+        "pix",
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
+def _q_mosaic_first(spark, sf_dir):
+    """A4 cookie_cutter analog through the REAL kernel (operators/
+    zonal.py:mosaic_first_nonnodata): per date_key, first non-nodata in
+    scene_id order wins; exploded to (scene_id, pix, val)."""
+    from gips_spark.operators import zonal
+
+    out = zonal.mosaic_first_nonnodata(_stack_chunks(spark, sf_dir), band="ndvi")
+    return out.select(
+        "scene_id", F.posexplode("pixels").alias("pix", "v")
+    ).select(
+        "scene_id",
+        "pix",
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -996,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "acca_classes": _q_acca_classes,
+        "pixelwise_composite": _q_pixelwise_composite,
+        "mosaic_first": _q_mosaic_first,
     }
 
 
@@ -1442,5 +1541,31 @@ def oracle_sql() -> dict[str, str]:
         "footprint_polar": (
             "SELECT scene_id, h3_7, a_m2, pcov, ptile "
             f"FROM read_parquet('{_PIN_DIR}/footprint_polar.parquet')"
+        ),
+        # pixelwise_composite / mosaic_first: fully independent SQL
+        # re-derivation of the event-derived raster stack (see
+        # _stack_chunks) — nanmax / first-non-nodata-in-scene-order per
+        # pixel, no pins.  Values are quarter-quantized so the engine's
+        # float32 pixels column is bit-exact vs these doubles.
+        "pixelwise_composite": (
+            _points_cte()
+            + ","
+            + _STACK_CTE_BODY
+            + """
+            SELECT chunk AS chunk_id, pix,
+                   round(coalesce(max(val) FILTER (val <> -999.0), -999.0), 4) AS val
+            FROM m GROUP BY 1, 2
+            """
+        ),
+        "mosaic_first": (
+            _points_cte()
+            + ","
+            + _STACK_CTE_BODY
+            + """
+            SELECT 'mosaic_' || dt || '_' || chunk AS scene_id, pix,
+                   round(coalesce(arg_min(val, scene) FILTER (val <> -999.0),
+                                  -999.0), 4) AS val
+            FROM m GROUP BY 1, 2
+            """
         ),
     }

@@ -42,12 +42,16 @@ def main():
         )
     spark = get_spark("check-entry", master="local[8]", shuffle_partitions=8)
 
-    e = entrymod.entry(spark)
-    ecnt = e.count()
-    print(f"entry: rows={ecnt} schema={e.schema.simpleString()}", flush=True)
-    assert ecnt >= 0
+    only = set(sys.argv[1:])
+    if not only:
+        e = entrymod.entry(spark)
+        ecnt = e.count()
+        print(f"entry: rows={ecnt} schema={e.schema.simpleString()}", flush=True)
+        assert ecnt >= 0
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
