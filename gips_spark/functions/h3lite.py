@@ -483,14 +483,38 @@ def _close_and_canonicalize(sampled: np.ndarray, res: int) -> np.ndarray:
 
 
 def polyfill_cap(
-    lat_edge: float, res: int, north: bool, extra_lonlat: np.ndarray | None = None
+    lat_edge: float,
+    res: int,
+    north: bool,
+    extra_lonlat: np.ndarray | None = None,
+    max_samples: int = 40_000_000,
 ) -> np.ndarray:
     """Candidate cells for a POLAR CAP poleward of `lat_edge` (superset,
     same closure/tolerance semantics as polyfill_convex).  Sampling is
     lat-row based with the lon step widened by 1/cos(lat) so the count
     per row stays bounded toward the pole (a fixed-degree lon grid at
-    0.45x pitch would put ~36k samples on EVERY row)."""
+    0.45x pitch would put ~36k samples on EVERY row).
+
+    TOTAL samples still grow with cap size: ~sum(360*cos(lat)/step^2)
+    ~ 0.8M at |lat_edge|=85, 28M at 60 (res 7).  The 0.45x-pitch density
+    is what guarantees every live cell is witnessed (superset
+    correctness), so it is NOT coarsened for big caps; instead the call
+    raises once the estimate exceeds `max_samples` (default 40M covers
+    |lat_edge| >= ~55 deg at res 7 — far beyond any real polar scene
+    footprint) rather than silently OOMing one executor task (ADVICE
+    r4).  For genuinely continental caps, polyfill at a coarser res or
+    raise the budget explicitly."""
     step = pitch_deg(res) * 0.45
+    _m_est = 2.0 * pitch_deg(res)
+    _lats = np.arange(min(abs(lat_edge) - _m_est, 89.99), 89.99, step)
+    _c = np.maximum(np.cos(np.radians(_lats)), 1e-9)
+    est = int(np.maximum(4, np.ceil(360.0 / np.minimum(120.0, step / _c))).sum())
+    if est > max_samples:
+        raise ValueError(
+            f"polyfill_cap(lat_edge={lat_edge}, res={res}) needs ~{est:,} "
+            f"samples > max_samples={max_samples:,}; use a coarser res or "
+            "raise max_samples"
+        )
     m = 2.0 * pitch_deg(res)
     if north:
         lats = np.arange(min(lat_edge - m, 89.99), 89.99, step)

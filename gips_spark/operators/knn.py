@@ -200,13 +200,11 @@ def _coarse_prune_block(
         order = np.take_along_axis(
             part, np.argsort(np.take_along_axis(ub_blk, part, axis=1), axis=1), axis=1
         )
-        short_rows = np.flatnonzero(np.cumsum(c_n[order], axis=1)[:, -1] < q_k)
-        if len(short_rows):
-            full = np.argsort(ub_blk[short_rows], axis=1, kind="stable")
-            order = np.pad(order, ((0, 0), (0, P - T)), constant_values=0)
-            order[short_rows] = full
-            # rows padded with index 0 never reach the pad: their
-            # covering completes within the first T entries by definition
+        # No short-row fallback needed (ADVICE r4): every directory
+        # prefix holds n_rows >= 1 by construction (it exists because a
+        # groupBy counted at least one point), so the first T >= 4*k
+        # prefixes always cumulate >= k rows and the covering set
+        # completes within the partitioned slice.
     else:
         order = np.argsort(ub_blk, axis=1, kind="stable")
     cum = np.cumsum(c_n[order], axis=1)

@@ -214,17 +214,21 @@ def ivf_topk(
         n_centroids = int(min(max(16, np.ceil(np.sqrt(n_rows))), 65536))
     if sample_rows is None:
         sample_rows = min(50 * n_centroids, 100_000)
-    # Seed sample (VERDICT r3 #9): a seeded Bernoulli sample + sort of
-    # the SAMPLE only — no global TakeOrdered over every partition's
-    # top-k.  2x oversample so the post-filter limit() almost surely
-    # has sample_rows rows; deterministic under the fixed seed.
+    # Seed sample (VERDICT r3 #9, ADVICE r4): a hash-Bernoulli filter on
+    # the id column + sort of the SAMPLE only — no global TakeOrdered
+    # over every partition's top-k.  pmod(xxhash64(i), M) < t is a pure
+    # row-value predicate, so unlike DataFrame.sample(fraction, seed) it
+    # is deterministic under ANY upstream partitioning/layout.  2x
+    # oversample so the post-filter limit() almost surely has
+    # sample_rows rows.
     if n_rows is None:
         n_rows = vectors.count()
     if n_rows <= sample_rows:
         seed_df = v0
     else:
-        frac = min(1.0, 2.0 * sample_rows / n_rows)
-        seed_df = v0.sample(fraction=frac, seed=42)
+        _M = 1_000_003  # prime modulus for an even hash split
+        thresh = min(_M, int(np.ceil(2.0 * sample_rows / n_rows * _M)))
+        seed_df = v0.where(F.pmod(F.xxhash64(F.col("i")), F.lit(_M)) < thresh)
     sample = np.stack(
         [
             np.asarray(r["v"], dtype=np.float64)

@@ -402,3 +402,25 @@ def test_incremental_minhash_vs_full_pairs(spark, documents=None):
         elif a % 2 == 1 and b % 2 == 0:
             want.add((a, b))
     assert got == want
+
+
+def test_ivf_seed_layout_independent(spark):
+    """ADVICE r4: the k-means seed sample is a hash filter on the id
+    column, so repartitioning the input must not change IVF results
+    (DataFrame.sample(fraction, seed) would)."""
+    rng = np.random.default_rng(33)
+    vecs = rng.standard_normal((300, 8))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"qid": ["A", "B"], "qv": [vecs[7].tolist(), vecs[123].tolist()]})
+    )
+    kw = dict(k=5, n_centroids=6, n_probe=3, sample_rows=40, n_rows=300)
+    a = similarity.ivf_topk(
+        spark, df, q, "vec_id", "embedding", "qid", "qv", **kw
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = similarity.ivf_topk(
+        spark, df.repartition(7), q, "vec_id", "embedding", "qid", "qv", **kw
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)

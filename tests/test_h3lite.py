@@ -202,3 +202,15 @@ def test_polyfill_convex():
     if len(missing):
         ml, mg = h3lite.cell_to_latlng(missing)
         assert (h3lite.latlng_to_cell(ml, mg, 7) != missing).all()
+
+
+def test_polyfill_cap_sample_budget():
+    """ADVICE r4: a continental 'cap' raises instead of generating an
+    unbounded sample array in one task; near-pole caps are unaffected."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_samples"):
+        h3lite.polyfill_cap(60.0, 7, True, max_samples=1_000_000)
+    # the documented near-pole regime stays well under the default budget
+    cells = h3lite.polyfill_cap(89.0, 7, True)
+    assert len(cells) > 0

@@ -33,6 +33,7 @@ def latlon():
     return lat, lon
 
 
+@pytest.mark.bench
 def test_h3_kernel_rate(latlon):
     from gips_spark.functions import h3lite
 
@@ -44,6 +45,7 @@ def test_h3_kernel_rate(latlon):
     assert rate >= 525_000, f"{rate:.0f} rows/s < 525k floor"
 
 
+@pytest.mark.bench
 def test_s2_kernel_rate(latlon):
     from gips_spark.functions import s2
 
@@ -62,6 +64,7 @@ def page_pdf(spark):
     return fixtures.gen_pages(spark, 6000).select("url", "html").toPandas()
 
 
+@pytest.mark.bench
 def test_extraction_kernel_rate(page_pdf):
     from gips_spark.functions import textx
 
@@ -73,6 +76,7 @@ def test_extraction_kernel_rate(page_pdf):
     assert rate >= 32_500, f"{rate:.0f} rows/s < 32.5k floor"
 
 
+@pytest.mark.bench
 def test_geocode_kernel_rate(page_pdf):
     from gips_spark.functions import textx
 

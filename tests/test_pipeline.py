@@ -6,6 +6,7 @@ implementations (numpy brute force, duckdb SQL), never the engine.
 
 import duckdb
 import numpy as np
+import pytest
 import pyspark.sql.functions as F
 
 from gips_spark.functions.geom import point_in_rings_bruteforce
@@ -237,6 +238,7 @@ def test_knn_multiblock_queries_exact(spark, enriched, directory):
     assert b.exceptAll(a).count() == 0
 
 
+@pytest.mark.bench
 def test_knn_driver_pruning_1e4_queries_fast():
     import pandas as pd
     """VERDICT r3 next #2 done-bar: the driver-side pruning (coarse
