@@ -275,3 +275,86 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
                 res.append(out[i] + t * (out[j] - out[i]))
         out = np.asarray(res, dtype=np.float64).reshape(-1, 2)
     return out
+
+
+def clip_convex_batch(
+    subject: np.ndarray, clips: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sutherland–Hodgman of ONE subject polygon against MANY convex
+    clip polygons, vectorized across clips (VERDICT r4 next #6 — the
+    per-boundary-cell Python loop in footprint cover was the last
+    per-cell scalar kernel).
+
+    subject: (N, 2) simple polygon (any orientation); clips: (T, M, 2)
+    convex polygons (any per-row orientation).  Returns (P, cnt): P is
+    (T, Vmax, 2) zero-padded clipped-polygon vertices, cnt the per-row
+    valid vertex counts (0 = no intersection).  Row-for-row equivalent
+    to ``[clip_convex(subject, clips[t]) for t]`` (pinned by tests):
+    per clip edge, every row's inside test, crossing detection, and
+    intersection parameter use the same formulas in the same order —
+    only the loop over rows is replaced by array ops.
+    """
+    clips = np.array(clips, dtype=np.float64, copy=True)
+    T, M, _ = clips.shape
+    if T == 0:
+        return np.zeros((0, 0, 2)), np.zeros(0, dtype=np.int64)
+    sgn = (
+        clips[:, :, 0] * np.roll(clips[:, :, 1], -1, axis=1)
+        - clips[:, :, 1] * np.roll(clips[:, :, 0], -1, axis=1)
+    ).sum(axis=1)
+    flip = sgn < 0
+    clips[flip] = clips[flip, ::-1]
+
+    subject = np.asarray(subject, dtype=np.float64)
+    N = len(subject)
+    P = np.broadcast_to(subject, (T, N, 2)).copy()
+    cnt = np.full(T, N, dtype=np.int64)
+    for e in range(M):
+        V = P.shape[1]
+        if V == 0:
+            break
+        ar = np.arange(V)
+        valid = ar[None, :] < cnt[:, None]
+        a = clips[:, e, :]
+        b = clips[:, (e + 1) % M, :]
+        ex = (b[:, 0] - a[:, 0])[:, None]
+        ey = (b[:, 1] - a[:, 1])[:, None]
+        d = ex * (P[:, :, 1] - a[:, 1][:, None]) - ey * (
+            P[:, :, 0] - a[:, 0][:, None]
+        )
+        j = ar[None, :] + 1
+        j = np.where(j >= cnt[:, None], 0, j)
+        dj = np.take_along_axis(d, j, axis=1)
+        Pj = np.take_along_axis(P, j[:, :, None], axis=1)
+        keep = valid & (d >= 0)
+        cross = valid & ((d >= 0) != (dj >= 0))
+        denom = d - dj
+        t = np.where(cross, d / np.where(denom == 0.0, 1.0, denom), 0.0)
+        inter = P + t[:, :, None] * (Pj - P)
+        emit = np.stack([keep, cross], axis=2).reshape(T, -1)
+        vals = np.stack([P, inter], axis=2).reshape(T, -1, 2)
+        cnt = emit.sum(axis=1)
+        Vnew = int(cnt.max())
+        P = np.zeros((T, Vnew, 2))
+        if Vnew:
+            pos = np.cumsum(emit, axis=1) - 1
+            rows, slots = np.nonzero(emit)
+            P[rows, pos[rows, slots]] = vals[rows, slots]
+    return P, cnt
+
+
+def padded_poly_areas(x: np.ndarray, y: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Unsigned shoelace areas over zero-padded (T, Vmax) vertex arrays
+    with per-row counts (companion to clip_convex_batch); rows with
+    cnt < 3 get 0."""
+    if x.shape[1] == 0:
+        return np.zeros(len(x))
+    ar = np.arange(x.shape[1])
+    valid = ar[None, :] < cnt[:, None]
+    j = ar[None, :] + 1
+    j = np.where(j >= cnt[:, None], 0, j)
+    xj = np.take_along_axis(x, j, axis=1)
+    yj = np.take_along_axis(y, j, axis=1)
+    s1 = np.where(valid, x * yj, 0.0).sum(axis=1)
+    s2 = np.where(valid, y * xj, 0.0).sum(axis=1)
+    return np.where(cnt >= 3, np.abs(s1 - s2) / 2.0, 0.0)

@@ -88,6 +88,38 @@ HOTSPOT_CITIES = GAZETTEER[:12]
 _CITY_LAT = {name: lat for name, lat, lon in GAZETTEER}
 _CITY_LON = {name: lon for name, lat, lon in GAZETTEER}
 
+# ccTLD → country centroid (public coordinates, frozen constants) — the
+# LOWEST-priority geocoder tier (SURVEY §7.2 item 7: "ccTLD table"): a
+# `example.de/artikel` page with no city mention or coordinates geocodes
+# to the country centroid with src='cctld' instead of 'none'.  Generic
+# TLDs (.com/.org/.net) and generic-USE ccTLDs (.io) are deliberately
+# absent.  Covers the fixture ccTLDs (de fr jp br us au) + the most
+# common Common-Crawl country domains.
+CCTLD_CENTROIDS: list[tuple[str, float, float]] = [
+    ("de", 51.1657, 10.4515),
+    ("fr", 46.2276, 2.2137),
+    ("jp", 36.2048, 138.2529),
+    ("br", -14.2350, -51.9253),
+    ("us", 37.0902, -95.7129),
+    ("au", -25.2744, 133.7751),
+    ("uk", 55.3781, -3.4360),
+    ("cn", 35.8617, 104.1954),
+    ("in", 20.5937, 78.9629),
+    ("ru", 61.5240, 105.3188),
+    ("ca", 56.1304, -106.3468),
+    ("es", 40.4637, -3.7492),
+    ("it", 41.8719, 12.5674),
+    ("nl", 52.1326, 5.2913),
+    ("pl", 51.9194, 19.1451),
+    ("mx", 23.6345, -102.5528),
+    ("za", -30.5595, 22.9375),
+    ("kr", 35.9078, 127.7669),
+    ("ar", -38.4161, -63.6167),
+    ("tr", 38.9637, 35.2433),
+]
+_CC_LAT = {cc: lat for cc, lat, lon in CCTLD_CENTROIDS}
+_CC_LON = {cc: lon for cc, lat, lon in CCTLD_CENTROIDS}
+
 # slug alternation, longest-first so 'ho-chi-minh-city' beats 'chi'
 _SLUGS_BY_LEN = sorted((c[0] for c in GAZETTEER), key=len, reverse=True)
 #: shared pattern SOURCES (Python re and Java regex agree on these) so the
@@ -99,10 +131,14 @@ TEXT_CITY_PATTERN = (
 )
 QS_LATLON_PATTERN = r"[?&]lat=(-?\d+\.\d+)&lon=(-?\d+\.\d+)"
 TEXT_COORD_PATTERN = r"(-?\d{1,2}\.\d{4}),\s(-?\d{1,3}\.\d{4})"
+#: last hostname label when it is a 2-letter tld (Java regex and Python
+#: re agree on this source — same contract as the patterns above)
+CCTLD_PATTERN = r"^https?://[^/?#]+\.([a-z]{2})(?:[/?#]|$)"
 _URL_CITY_RE = re.compile(URL_CITY_PATTERN)
 _TEXT_CITY_RE = re.compile(TEXT_CITY_PATTERN, re.IGNORECASE)
 _QS_LATLON_RE = re.compile(QS_LATLON_PATTERN)
 _TEXT_COORD_RE = re.compile(TEXT_COORD_PATTERN)
+_CCTLD_RE = re.compile(CCTLD_PATTERN)
 
 # ------------------------------------------------------------- extraction
 
@@ -178,7 +214,16 @@ def geocode(url: pd.Series, text: pd.Series) -> pd.DataFrame:
     lon = np.full(n, np.nan)
     src = np.full(n, "none", dtype=object)
 
-    # rule 4 (lowest priority first; later rules overwrite)
+    # rule 5 (lowest priority first; later rules overwrite): ccTLD →
+    # country centroid (round-4 tier; SURVEY §7.2 item 7)
+    m = url.str.extract(_CCTLD_RE, expand=False)
+    hit = (m.notna() & m.isin(_CC_LAT.keys())).to_numpy()
+    if hit.any():
+        lat[hit] = m[hit].map(_CC_LAT).to_numpy(dtype=float)
+        lon[hit] = m[hit].map(_CC_LON).to_numpy(dtype=float)
+        src[hit] = "cctld"
+
+    # rule 4: city slug in the text body
     m = text.str.lower().str.extract(_TEXT_CITY_RE, expand=False)
     hit = m.notna().to_numpy()
     if hit.any():

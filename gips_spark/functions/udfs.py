@@ -93,23 +93,38 @@ def geocode_exprs(url_col, text_col):
         " ",
         "-",
     )
+    # lowest-priority tier (round 4): ccTLD → country centroid.  The
+    # extracted label can be any 2 letters, so the hit condition is a
+    # successful MAP lookup (unlike the city tiers, whose patterns are
+    # built from the gazetteer and can never miss).
+    cc_lat = F.create_map(
+        *[F.lit(x) for c in textx.CCTLD_CENTROIDS for x in (c[0], float(c[1]))]
+    )
+    cc_lon = F.create_map(
+        *[F.lit(x) for c in textx.CCTLD_CENTROIDS for x in (c[0], float(c[2]))]
+    )
+    cc = F.regexp_extract(url_col, textx.CCTLD_PATTERN, 1)
+    cc_ok = (cc != "") & cc_lat[cc].isNotNull()
     lat = (
         F.when(qs_ok, qs_lat.cast("double"))
         .when(ct_ok, ct_lat.cast("double"))
         .when(cu != "", city_lat[cu])
         .when(tc != "", city_lat[tc])
+        .when(cc_ok, cc_lat[cc])
     )
     lon = (
         F.when(qs_ok, qs_lon.cast("double"))
         .when(ct_ok, ct_lon.cast("double"))
         .when(cu != "", city_lon[cu])
         .when(tc != "", city_lon[tc])
+        .when(cc_ok, cc_lon[cc])
     )
     src = (
         F.when(qs_ok, F.lit("latlon_qs"))
         .when(ct_ok, F.lit("coord_text"))
         .when(cu != "", F.lit("city_url"))
         .when(tc != "", F.lit("city_text"))
+        .when(cc_ok, F.lit("cctld"))
         .otherwise(F.lit("none"))
     )
     return lat, lon, src

@@ -540,8 +540,37 @@ def incremental_minhash_candidates(
     )
 
 
+
+def _ckpt_fn(df: DataFrame, reliable: bool, checkpoint_dir: str | None):
+    """Checkpoint strategy for the iterative CC loops (VERDICT r4 #9).
+
+    `localCheckpoint` pins truncated blocks to EXECUTORS — on a real
+    cluster an executor loss makes the lineage-truncated plan
+    unrecoverable mid-loop.  With ``reliable=True`` rounds checkpoint to
+    the fault-tolerant checkpoint dir (HDFS/S3 on a cluster) via
+    `RDD.checkpoint` semantics instead; `checkpoint_dir` (or a
+    previously configured `spark.sparkContext.setCheckpointDir`) names
+    the location.  Returns the per-round checkpoint callable.
+    """
+    if not reliable:
+        return lambda d: d.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif sc._jsc.sc().getCheckpointDir().isEmpty():
+        raise ValueError(
+            "use_reliable_checkpoint=True needs a checkpoint dir: pass "
+            "checkpoint_dir= or call spark.sparkContext.setCheckpointDir()"
+        )
+    return lambda d: d.checkpoint(eager=True)
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, check_every: int = 1
+    pairs: DataFrame,
+    max_iter: int = 20,
+    check_every: int = 1,
+    use_reliable_checkpoint: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs → clusters: (id, component) with component = the
     minimum id reachable through the pair graph (the canonical doc of
@@ -562,16 +591,16 @@ def connected_components(
     still changing after max_iter rounds (a path longer than max_iter
     hops) — unconverged labels are never returned silently (ADVICE r2).
     """
+    ck = _ckpt_fn(pairs, use_reliable_checkpoint, checkpoint_dir)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = ck(edges)
+    labels = ck(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     changed = -1
     for it in range(max_iter):
@@ -579,11 +608,10 @@ def connected_components(
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("comp"))
         )
-        new = (
+        new = ck(
             labels.union(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
         if (it + 1) % check_every == 0 or it == max_iter - 1:
             changed = (
@@ -605,7 +633,12 @@ def connected_components(
     return labels
 
 
-def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 40,
+    use_reliable_checkpoint: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR —
     the published MapReduce-and-beyond algorithm (Kiveris et al. 2014):
     converges in O(log² n) rounds on ANY graph shape, so adversarial
@@ -634,16 +667,16 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).where(F.col("u") != F.col("v")).distinct()
 
+    ck = _ckpt_fn(pairs, use_reliable_checkpoint, checkpoint_dir)
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     # every id in the input appears in the output — including ids whose
     # only pair is a self-loop (contract parity with connected_components)
-    all_ids = (
+    all_ids = ck(
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    e = _sym(edges).localCheckpoint(eager=True)
+    e = ck(_sym(edges))
     converged = False
     for _ in range(max_iter):
         # large-star over the symmetric view
@@ -653,9 +686,7 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame
             j.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e2 = large.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
-            eager=True
-        )
+        e2 = ck(large.where(F.col("u") != F.col("v")).distinct())
         # small-star (edges now point larger→smaller; center on the larger)
         sym2 = _sym(e2)
         center = sym2.where(F.col("v") < F.col("u"))
@@ -664,9 +695,7 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame
         small = j2.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
             mins2.select(F.col("u"), F.col("m").alias("v"))
         )
-        new = small.where(F.col("u") != F.col("v")).distinct().localCheckpoint(
-            eager=True
-        )
+        new = ck(small.where(F.col("u") != F.col("v")).distinct())
         # converged when the edge set is stable.  From round 1 on both
         # sides are DISTINCT and u>v-directed (large/small-star outputs
         # always point larger→smaller), so equal counts + one empty

@@ -55,6 +55,8 @@ from gips_spark.functions.geom import (
     EARTH_RADIUS_M,
     PreparedPolygon,
     clip_convex,
+    clip_convex_batch,
+    padded_poly_areas,
     ring_area_m2,
     sinusoidal_xy,
 )
@@ -161,11 +163,14 @@ def _cover_polar(wkt: str, quad: np.ndarray, res: int) -> list[tuple]:
         prep.contains_chunked(hx.ravel(), hy.ravel()).reshape(hx.shape).all(axis=1)
     )
     res_a = np.where(fully_in, hex_a, 0.0)
-    for t in np.where(~fully_in)[0]:
-        hexagon = np.stack([hx[t], hy[t]], axis=1)
-        c = clip_convex(subject, hexagon)
-        if len(c) >= 3:
-            res_a[t] = _shoelace_abs(c[:, 0], c[:, 1])
+    bt = np.where(~fully_in)[0]
+    if len(bt):
+        # batched S-H across all boundary cells (VERDICT r4 next #6) —
+        # LAEA frame is already planar, areas are raw shoelace
+        Pc, cntc = clip_convex_batch(
+            subject, np.stack([hx[bt], hy[bt]], axis=2)
+        )
+        res_a[bt] = padded_poly_areas(Pc[:, :, 0], Pc[:, :, 1], cntc)
     out_rows = []
     keep = res_a > 0.0
     for cell, a, ha in zip(cells[keep], res_a[keep], hex_a[keep]):
@@ -239,12 +244,15 @@ def _cover_one(wkt: str, res: int) -> list[tuple]:
         fully_in = np.zeros(len(cells), dtype=bool)
     out_rows = []
     res_a = np.where(fully_in, hex_a, 0.0)
-    boundary = ~fully_in
-    for t in np.where(boundary)[0]:
-        hexagon = np.stack([blng[t], blat[t]], axis=1)
-        c = clip_convex(quad, hexagon)
-        if len(c) >= 3:
-            res_a[t] = ring_area_m2(c[:, 0], c[:, 1])
+    bt = np.where(~fully_in)[0]
+    if len(bt):
+        # batched S-H across all boundary cells (VERDICT r4 next #6);
+        # areas via the same sinusoidal shoelace as ring_area_m2
+        Pc, cntc = clip_convex_batch(
+            quad, np.stack([blng[bt], blat[bt]], axis=2)
+        )
+        xs, ys = sinusoidal_xy(Pc[:, :, 0], Pc[:, :, 1])
+        res_a[bt] = padded_poly_areas(xs, ys, cntc)
     keep = res_a > 0.0
     for cell, a, ha in zip(cells[keep], res_a[keep], hex_a[keep]):
         out_rows.append((wkt, int(cell), float(a), float(a / a_fp), float(a / ha)))

@@ -508,6 +508,7 @@ def knn_join_distributed(
     queries: DataFrame,
     directory: DataFrame,
     query_parts: int | None = None,
+    stage_out: dict | None = None,
 ) -> DataFrame:
     """kNN for query sets beyond driver memory (VERDICT r3 missing #5 /
     next #8): NO ``queries.toPandas()`` anywhere —
@@ -626,6 +627,10 @@ def knn_join_distributed(
     cand = paired.repartition(query_parts, "query_id").mapInPandas(
         fine_stage, cand_schema
     )
+    if stage_out is not None:
+        # diagnostics hook (tests/test_pipeline.py planted-hotspot skew
+        # pin): expose the internal stages without changing the plan
+        stage_out.update(surv=surv, paired=paired, cand=cand)
 
     pts = enriched.where(F.col("geocode_src") != "none").select(
         "url", "lat", "lon", "h3_7"

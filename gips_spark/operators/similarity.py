@@ -202,6 +202,11 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed approximate top-k (same output schema as brute force).
 
+    ``broadcast_queries=False`` switches the probe join from a driver
+    broadcast to a shuffle hash-join on the centroid id — use it when
+    n_queries × n_probe × vector bytes ≳ 100 MB (≈ 2×10^4 64-dim
+    queries at n_probe 8); results are identical (tested).
+
     Scale posture (VERDICT r2 #9): defaults derive from the table size —
     n_centroids = ⌈√n⌉ (clamped to [16, 65536]), sample_rows =
     50·centroids (≤ 100k driver rows, seed only), and `refine_iters`
@@ -264,8 +269,13 @@ def ivf_topk(
     ).withColumn("probe", probe_centroids(F.col("qv")))
     qx = q.select("query_id", "qv", F.explode("probe").alias("cent"))
     # broadcast is right for interactive query counts; a huge query
-    # BATCH (10^6+, n_probe-exploded) should shuffle on cent instead —
-    # pass broadcast_queries=False and both sides hash-join on cent
+    # BATCH should shuffle on cent instead — pass broadcast_queries=
+    # False and both sides hash-join on cent.  Threshold (r5, pinned at
+    # sf0.1 by the bench-marked recall test): the broadcast ships
+    # n_queries × n_probe exploded rows × (dim × 8 B) to EVERY executor,
+    # so flip once that product passes ~100 MB — for 64-dim float64 and
+    # n_probe 8, roughly ≥ 2×10^4 queries; for 10^6-query batches the
+    # shuffle join is the only sane plan.
     if broadcast_queries:
         qx = F.broadcast(qx)
     joined = v.join(qx, "cent").withColumn(

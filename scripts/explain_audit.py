@@ -125,6 +125,18 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
     checks.append(
         ("knn-dist: executor pruning stages (2× MapInPandas)", kdp.count("MapInPandas") >= 2)
     )
+    # r5: planted-hotspot posture — the fine stage is fed by an explicit
+    # hash re-spread on query_id (hot-prefix join output cannot ride one
+    # partition into the Python kernel), and AQE skew-join is armed for
+    # the prefix join itself
+    checks.append(
+        ("knn-dist: query_id re-spread before fine stage",
+         "hashpartitioning(query_id" in kdp)
+    )
+    checks.append(
+        ("knn-dist: AQE skew-join armed",
+         spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    )
 
     # r2: QA unpack — pure Column ops, zero Python
     from gips_spark.operators import qa as qa_ops

@@ -30,7 +30,7 @@ def test_enrich_schema_and_rows(enriched, pages):
     ]:
         assert c in enriched.columns
     srcs = {r["geocode_src"] for r in enriched.select("geocode_src").distinct().collect()}
-    assert srcs == {"latlon_qs", "coord_text", "city_url", "city_text", "none"}
+    assert srcs == {"latlon_qs", "coord_text", "city_url", "city_text", "cctld", "none"}
 
 
 def test_enrich_partition_invariant(spark, pages):
@@ -361,3 +361,54 @@ def test_knn_distributed_1e5_queries(spark, enriched, directory):
     b = knn.knn_bruteforce(enriched, q).cache()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_knn_distributed_planted_hotspot_skew(spark, enriched, directory):
+    """VERDICT r4 watch #2: 2e4 queries concentrated on the Tokyo
+    mega-cell prefix + background spread.  Pins (a) exactness vs the
+    two-level driver path under planted skew, (b) that the
+    repartition(query_parts, "query_id") feeding the fine stage
+    re-spreads the hot prefix's rows evenly (bounded max/median
+    partition rows) — the stage whose balance actually bounds the
+    Python kernel's wall time at scale."""
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    n_hot, n_bg = 20_000, 200
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"H{i}" for i in range(n_hot)] + [f"B{i}" for i in range(n_bg)],
+            "lat": np.concatenate(
+                [35.6762 + rng.uniform(-0.4, 0.4, n_hot),
+                 rng.uniform(-60, 60, n_bg)]
+            ),
+            "lon": np.concatenate(
+                [139.6503 + rng.uniform(-0.4, 0.4, n_hot),
+                 rng.uniform(-180, 180, n_bg)]
+            ),
+            "k": rng.choice([1, 5, 10], n_hot + n_bg).astype(np.int64),
+        }
+    )
+    q = spark.createDataFrame(qpdf)
+    st = {}
+    a = knn.knn_join_distributed(
+        spark, enriched, q, directory, query_parts=8, stage_out=st
+    ).select("query_id", "rank", "url").cache()
+    b = knn.knn_join(spark, enriched, q, directory).select(
+        "query_id", "rank", "url"
+    ).cache()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == b.count()
+
+    # fine-stage input balance: explicit repartition on query_id (what
+    # knn_join_distributed feeds mapInPandas) — hot-prefix concentration
+    # must not survive the re-spread
+    hist = (
+        st["paired"].repartition(8, "query_id")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()["count"].to_numpy()
+    )
+    assert len(hist) >= 4  # explicit repartition is not AQE-coalesced
+    med = float(np.median(hist))
+    assert med > 0 and hist.max() / med < 2.5, hist.tolist()
+    a.unpersist(); b.unpersist()

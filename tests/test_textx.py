@@ -103,3 +103,54 @@ def test_fingerprint_deterministic_and_shift_robust():
     # min-window fingerprint survives a prefix shift when the minimal
     # window is still present
     assert fp.iloc[0] == fp.iloc[2] or fp.iloc[2] != 0
+
+
+def test_geocode_cctld_tier():
+    """Round-4 lowest-priority tier: ccTLD -> country centroid; any
+    higher tier wins; unknown/generic tlds stay 'none'."""
+    url = pd.Series(
+        [
+            "https://www1.example.de/artikel/p9",       # cctld fires
+            "https://www1.example.de/x/p10",            # city_text beats cctld
+            "https://www1.example.com/x/p11",           # generic tld -> none
+            "https://www1.example.xy/x/p12",            # unknown 2-letter -> none
+            "https://www1.example.jp/news/berlin/p13",  # city_url beats cctld
+            "https://a.example.fr/p?lat=10.0000&lon=20.0000",  # qs beats cctld
+        ]
+    )
+    text = pd.Series(
+        ["nothing here", "report from tokyo", "nothing here",
+         "nothing here", "nothing here", "nothing here"]
+    )
+    got = textx.geocode(url, text)
+    assert got["geocode_src"].tolist() == [
+        "cctld", "city_text", "none", "none", "city_url", "latlon_qs",
+    ]
+    assert got["lat"].iloc[0] == 51.1657 and got["lon"].iloc[0] == 10.4515
+    assert got["lat"].iloc[1] == 35.6762  # tokyo, not germany
+    assert got["lat"].iloc[4] == 52.5200  # berlin, not japan
+
+
+def test_geocode_jvm_matches_python(spark, pages):
+    """geocode_exprs (JVM CASE/map tiers, the production assign path) ==
+    textx.geocode (Python kernel) on the fixture distribution, all six
+    src classes included (ADVICE-style cross-path pin, extended to the
+    cctld tier)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gips_spark.functions import udfs
+
+    glat, glon, gsrc = udfs.geocode_exprs(F.col("url"), F.col("text"))
+    pdf = (
+        pages.limit(800)
+        .select("url", "text", glat.alias("jlat"), glon.alias("jlon"),
+                gsrc.alias("jsrc"))
+        .toPandas()
+    )
+    py = textx.geocode(pdf["url"], pdf["text"])
+    assert pdf["jsrc"].tolist() == py["geocode_src"].tolist()
+    for jc, pc in (("jlat", "lat"), ("jlon", "lon")):
+        a = pdf[jc].to_numpy(dtype=float)
+        b = py[pc].to_numpy(dtype=float)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
