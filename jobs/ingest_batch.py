@@ -213,3 +213,48 @@ def ingest_batch(
     metrics["rows_in"] = batch.count()
     metrics["survivors"] = metrics["stages"][1]["rows"] if not metrics["stages"][1]["resumed"] else None
     return metrics
+
+def main():
+    """Cluster entry: spark-submit --py-files gips_spark.zip \
+    jobs/ingest_batch.py --batch <parquet> --batch-id b42 --root /data/corpus
+
+    Runs one ingest batch incrementally (per-bucket lineage; re-running
+    after a crash resumes, re-running when complete is a no-op) and
+    prints the per-stage metrics as one JSON line."""
+    import argparse
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from gips_spark import get_spark
+    from gips_spark.plans import metrics as metrics_mod
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", required=True, help="parquet path of the new batch")
+    ap.add_argument("--batch-id", required=True)
+    ap.add_argument("--root", required=True, help="corpus root directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    kw = {"master": args.master} if args.master else {}
+    spark = get_spark("ingest-batch", **kw)
+    m = ingest_batch(
+        spark,
+        spark.read.parquet(args.batch),
+        args.batch_id,
+        args.root,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        n_buckets=args.buckets,
+    )
+    m["shuffle_bytes"] = metrics_mod.shuffle_bytes_total(spark)
+    print(json.dumps(m))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -148,3 +148,62 @@ def test_ingest_first_batch_empty_corpus(spark, tmp_path):
     keys = spark.read.parquet(f"{root}/keys")
     assert keys.count() == 7
     assert keys.select("canonical_id").distinct().count() == 7
+
+
+def test_streaming_ingest_dedup_available_now(spark, tmp_path):
+    """jobs/ingest_stream.py: micro-batches drive the SAME lineage job;
+    order-free oracle — one keys row per distinct text, every canonical
+    id carries the identical text, and a re-run of the drained stream
+    (same checkpoint) does zero new work."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jobs.ingest_stream import run_ingest_stream_available_now
+
+    in_path = str(tmp_path / "landing")
+    root = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    texts = [
+        "alpha body", "beta body", "alpha body", "gamma body",
+        "delta body", "beta body", "epsilon body", "alpha body",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(8), "text": texts}).astype(
+        {"doc_id": "int64"}
+    )
+    # two landing files → (with maxFilesPerTrigger=1) two+ epochs
+    spark.createDataFrame(pdf.iloc[:4]).coalesce(1).write.mode("append").parquet(in_path)
+    spark.createDataFrame(pdf.iloc[4:]).coalesce(1).write.mode("append").parquet(in_path)
+
+    m1 = run_ingest_stream_available_now(spark, in_path, root, ck, n_buckets=4)
+    assert len(m1) >= 1
+
+    assign = spark.read.parquet(f"{root}/assign")
+    keys = spark.read.parquet(f"{root}/keys")
+    corpus = spark.read.parquet(f"{root}/corpus")
+    assert assign.count() == 8                       # a verdict per doc
+    assert keys.count() == 5                         # distinct texts
+    assert corpus.count() == 5
+    # canonical carries the identical text (order-free oracle)
+    docs = spark.createDataFrame(pdf)
+    canon_join = (
+        assign.join(docs, "doc_id")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("canonical_id"),
+                F.col("text").alias("canon_text"),
+            ),
+            "canonical_id",
+        )
+    )
+    assert canon_join.where(F.col("text") != F.col("canon_text")).count() == 0
+    # survivors are exactly the canonical ids
+    surv_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    canon_ids = {r["canonical_id"] for r in assign.select("canonical_id").collect()}
+    assert surv_ids == canon_ids
+
+    # drained stream re-run: no new epochs, no new lineage rows
+    lin_before = spark.read.parquet(f"{root}/_lineage").count()
+    m2 = run_ingest_stream_available_now(spark, in_path, root, ck, n_buckets=4)
+    assert m2 == []
+    assert spark.read.parquet(f"{root}/_lineage").count() == lin_before
