@@ -29,6 +29,36 @@ _LAT_EXPR = "-60 + CAST((event_id * 2654435761) % 12000000 AS DOUBLE) / 100000.0
 _LON_EXPR = "-180 + CAST((event_id * 40503) % 36000000 AS DOUBLE) / 100000.0"
 _VAL_EXPR = "CAST((event_id * 97) % 100000 AS DOUBLE) / 100.0"
 
+# Deterministic url/text derivation for the geocoder driver query
+# (identical semantics in Spark SQL and DuckDB; covers every tier of the
+# ordered rule table incl. the round-5 ccTLD fallback, plus the priority
+# overrides and the negative cases: invalid qs coords, unknown ccTLD,
+# non-gazetteer slug, generic .com).
+_DOC_URL_EXPR = """
+CASE doc_id % 10
+  WHEN 0 THEN concat('https://news.example.de/artikel-', CAST(doc_id AS STRING))
+  WHEN 1 THEN concat('https://journal.example.fr/page-', CAST(doc_id AS STRING))
+  WHEN 2 THEN concat('https://blog.example.jp/', CAST(doc_id AS STRING))
+  WHEN 3 THEN concat('https://example.com/chicago/', CAST(doc_id AS STRING))
+  WHEN 4 THEN concat('https://example.br/rome/', CAST(doc_id AS STRING))
+  WHEN 5 THEN concat('https://maps.example.com/view?lat=',
+                     CAST(doc_id % 140 - 70 AS STRING), '.25&lon=',
+                     CAST(doc_id % 320 - 160 AS STRING), '.5')
+  WHEN 6 THEN 'https://geo.example.us/spot?lat=95.5&lon=10.25'
+  WHEN 7 THEN concat('https://example.io/x-', CAST(doc_id AS STRING))
+  WHEN 8 THEN concat('https://example.com/springfield/', CAST(doc_id AS STRING))
+  ELSE concat('https://cdn.example.com/asset-', CAST(doc_id AS STRING))
+END
+"""
+_DOC_TEXT_EXPR = """
+CASE doc_id % 7
+  WHEN 1 THEN concat(text, ' meetup in Tokyo station')
+  WHEN 2 THEN concat(text, ' observed at 41.8781, -87.6298 downtown')
+  WHEN 3 THEN concat(text, ' flight to ho chi minh city next week')
+  ELSE text
+END
+"""
+
 # fixed concave test polygon (lon, lat) — the ray-cast oracle writes one
 # CASE term per edge
 _POLY = [(0.0, 0.0), (30.0, 10.0), (15.0, 25.0), (30.0, 40.0), (0.0, 50.0), (10.0, 25.0)]
@@ -1047,6 +1077,93 @@ def _q_mosaic_first(spark, sf_dir):
     )
 
 
+def _q_geocode_docs(spark, sf_dir):
+    """X7 geocoder (incl. the ccTLD country-centroid tier) through the
+    driver contract: synthetic urls/texts derived from `documents` via
+    shared SQL expressions, then geocoded by the ENGINE's JVM kernel
+    (functions/udfs.py :: geocode_exprs — codegen'd regexp_extract +
+    map-literal gazetteer + priority CASE).  The oracle re-implements
+    the ordered rule table in straight-line DuckDB SQL over the same
+    frozen pattern/table constants, so the two regex engines + tier
+    logics are compared end-to-end (SURVEY §5.4 oracle-first protocol).
+    """
+    from gips_spark.functions import udfs
+
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(_DOC_URL_EXPR).alias("url"),
+        F.expr(_DOC_TEXT_EXPR).alias("txt"),
+    )
+    lat, lon, src = udfs.geocode_exprs(F.col("url"), F.col("txt"))
+    return d.select(
+        "doc_id",
+        src.alias("geocode_src"),
+        F.round(lat, 4).alias("lat"),
+        F.round(lon, 4).alias("lon"),
+    )
+
+
+def _geocode_docs_oracle() -> str:
+    """DuckDB re-implementation of the geocoder rule table (straight-line
+    SQL, RE2 regexes, VALUES-table gazetteer lookups)."""
+    from gips_spark.functions import textx
+
+    cities = ", ".join(
+        "('%s', %r, %r)" % (slug, lat, lon) for slug, lat, lon in textx.GAZETTEER
+    )
+    ccs = ", ".join(
+        "('%s', %r, %r)" % (cc, lat, lon) for cc, lat, lon in textx.CCTLD_CENTROIDS
+    )
+    return (
+        "WITH d AS (\n"
+        "  SELECT doc_id,\n"
+        "         " + _DOC_URL_EXPR.strip().replace("\n", "\n         ") + " AS url,\n"
+        "         " + _DOC_TEXT_EXPR.strip().replace("\n", "\n         ") + " AS txt\n"
+        "  FROM documents\n"
+        "), cities(slug, clat, clon) AS (VALUES " + cities + "),\n"
+        "ccs(cc, glat, glon) AS (VALUES " + ccs + "),\n"
+        "g AS (\n"
+        "  SELECT doc_id,\n"
+        "         regexp_extract(url, '" + textx.QS_LATLON_PATTERN + "', 1) AS qs_lat,\n"
+        "         regexp_extract(url, '" + textx.QS_LATLON_PATTERN + "', 2) AS qs_lon,\n"
+        "         regexp_extract(txt, '" + textx.TEXT_COORD_PATTERN + "', 1) AS ct_lat,\n"
+        "         regexp_extract(txt, '" + textx.TEXT_COORD_PATTERN + "', 2) AS ct_lon,\n"
+        "         regexp_extract(url, '" + textx.URL_CITY_PATTERN + "', 1) AS cu,\n"
+        "         replace(regexp_extract(lower(txt), '" + textx.TEXT_CITY_PATTERN + "', 1), ' ', '-') AS tc,\n"
+        "         regexp_extract(url, '" + textx.CCTLD_PATTERN + "', 1) AS cc\n"
+        "  FROM d\n"
+        "), v AS (\n"
+        "  SELECT g.*,\n"
+        "         qs_lat <> '' AND abs(TRY_CAST(qs_lat AS DOUBLE)) <= 90.0\n"
+        "                      AND abs(TRY_CAST(qs_lon AS DOUBLE)) <= 180.0 AS qs_ok,\n"
+        "         ct_lat <> '' AND abs(TRY_CAST(ct_lat AS DOUBLE)) <= 90.0\n"
+        "                      AND abs(TRY_CAST(ct_lon AS DOUBLE)) <= 180.0 AS ct_ok,\n"
+        "         g.cc <> '' AND ccs.glat IS NOT NULL AS cc_ok,\n"
+        "         cu_t.clat AS cu_lat, cu_t.clon AS cu_lon,\n"
+        "         tc_t.clat AS tc_lat, tc_t.clon AS tc_lon,\n"
+        "         ccs.glat AS cc_lat, ccs.glon AS cc_lon\n"
+        "  FROM g\n"
+        "  LEFT JOIN cities cu_t ON g.cu = cu_t.slug\n"
+        "  LEFT JOIN cities tc_t ON g.tc = tc_t.slug\n"
+        "  LEFT JOIN ccs ON g.cc = ccs.cc\n"
+        ")\n"
+        "SELECT doc_id,\n"
+        "       CASE WHEN qs_ok THEN 'latlon_qs' WHEN ct_ok THEN 'coord_text'\n"
+        "            WHEN cu <> '' THEN 'city_url' WHEN tc <> '' THEN 'city_text'\n"
+        "            WHEN cc_ok THEN 'cctld' ELSE 'none' END AS geocode_src,\n"
+        "       round(CASE WHEN qs_ok THEN TRY_CAST(qs_lat AS DOUBLE)\n"
+        "                  WHEN ct_ok THEN TRY_CAST(ct_lat AS DOUBLE)\n"
+        "                  WHEN cu <> '' THEN cu_lat WHEN tc <> '' THEN tc_lat\n"
+        "                  WHEN cc_ok THEN cc_lat END, 4) AS lat,\n"
+        "       round(CASE WHEN qs_ok THEN TRY_CAST(qs_lon AS DOUBLE)\n"
+        "                  WHEN ct_ok THEN TRY_CAST(ct_lon AS DOUBLE)\n"
+        "                  WHEN cu <> '' THEN cu_lon WHEN tc <> '' THEN tc_lon\n"
+        "                  WHEN cc_ok THEN cc_lon END, 4) AS lon\n"
+        "FROM v\n"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -1095,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acca_classes": _q_acca_classes,
         "pixelwise_composite": _q_pixelwise_composite,
         "mosaic_first": _q_mosaic_first,
+        "geocode_docs": _q_geocode_docs,
     }
 
 
@@ -1568,4 +1686,5 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY 1, 2
             """
         ),
+        "geocode_docs": _geocode_docs_oracle(),
     }

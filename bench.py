@@ -62,6 +62,9 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", int(ROWS_PER_SF * sf)))
+    # label override for the larger bench tier (BENCH_ROWS=10M → sf1):
+    # the synthetic pages input is sized by n_rows, not by sf_dir tables
+    sf = float(os.environ.get("SPARK_GRAFT_BENCH_SF", sf))
 
     spark = get_spark("gips-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
