@@ -161,6 +161,27 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
          "MapInPandas" in fpp and "HashAggregate" in fpp)
     )
 
+    # r5: geocode_docs shape — the six-tier geocoder (incl. ccTLD) must
+    # be pure JVM codegen: regexp_extract + map-literal gazetteer + CASE,
+    # no Python stage of any kind, over a scan pruned to the url column
+    from gips_spark.functions import udfs as _udfs
+
+    glat, glon, gsrc = _udfs.geocode_exprs(F.col("url"), F.substring("url", 1, 40))
+    gp = formatted(
+        pages.select("url").select(
+            gsrc.alias("geocode_src"), glat.alias("lat"), glon.alias("lon")
+        )
+    )
+    sections["geocode (JVM six-tier kernel incl. ccTLD)"] = gp
+    checks.append(
+        ("geocode: zero Python in plan",
+         "EvalPython" not in gp and "MapInPandas" not in gp)
+    )
+    checks.append(("geocode: whole-stage codegen", "codegen id" in gp))
+    checks.append(
+        ("geocode: scan pruned to url", "html" not in gp and "warc_ts" not in gp)
+    )
+
     directory.unpersist()
     enr.unpersist()
     return sections, checks
