@@ -885,6 +885,49 @@ def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """EXACT character-5-gram Jaccard kernel (dedup.jaccard_udf — the
+    verify stage of ngram_jaccard_pairs) against a TRUE independent
+    oracle: DuckDB recomputes Jaccard over distinct n-gram STRING sets
+    (the engine hashes shingles FNV-1a-64; 64-bit injectivity on these
+    window populations makes the two set cardinalities identical).
+
+    The pair set here is all-pairs of a fixed doc_id slice — bounded
+    and SQL-derivable — because LSH candidacy is hash-function-defined
+    (covered separately by minhash_pairs' frozen pin).  The production
+    scale path stays dedup.ngram_jaccard_pairs (kernel only on LSH
+    candidates)."""
+    from gips_spark.operators import dedup
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 7)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    jac = dedup.jaccard_udf(5)
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    jc = jac(F.col("t_a"), F.col("t_b"))
+    return (
+        pairs.select("id_a", "id_b", jc.alias("_j"))
+        .where(F.col("_j") >= 0.05)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    """Rolling-FNV document fingerprint (X7 / winnowing-style min-hash
+    over 8-byte windows, textx.rolling_fingerprint) against a TRUE
+    independent oracle: DuckDB unrolls the 8-step FNV-1a-64 fold in
+    HUGEINT mod-2^64 arithmetic and takes the unsigned min per doc.
+    Documents are printable ASCII, so byte windows == char windows;
+    length>=8 on both sides avoids the short-doc whole-text branch
+    diverging from the empty window set."""
+    from gips_spark.functions import udfs
+
+    docs = _read(spark, sf_dir, "documents").where(F.length("text") >= 8)
+    return docs.select(
+        "doc_id", udfs.fingerprint_udf(F.col("text")).alias("fingerprint")
+    )
+
+
 #: ACCA synthetic per-event "pixel": TOA reflectances + brightness temp
 #: derived from events.value with shared Spark/DuckDB-safe arithmetic
 #: (floor-division via floor(x/k.0): exact for x < 2^53; literals cast
@@ -1209,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_minhash": _q_incr_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "doc_fingerprint": _q_doc_fingerprint,
         "acca_classes": _q_acca_classes,
         "pixelwise_composite": _q_pixelwise_composite,
         "mosaic_first": _q_mosaic_first,
@@ -1238,6 +1283,48 @@ _SIMHASH_PIN = [
     (107, 387, 3), (120, 332, 2), (152, 178, 2), (267, 413, 0), (285, 301, 1),
     (393, 420, 0), (458, 462, 2),
 ]
+
+
+def _fingerprint_oracle() -> str:
+    """DuckDB re-implementation of rolling_fingerprint: the 8-step
+    FNV-1a-64 fold unrolled as stacked CTEs (xor on the low byte +
+    HUGEINT mod-2^64 multiply), unsigned min per doc, then the int64
+    reinterpretation the engine's .view(int64) applies."""
+    def step(k: int) -> str:
+        return (
+            "((h - (h % 256) + xor((h % 256)::BIGINT, "
+            f"ord(substr(t, i+{k}, 1))::BIGINT)::HUGEINT)"
+            " * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT"
+        )
+
+    ctes = ["p0 AS (SELECT doc_id, i, t, 14695981039346656037::HUGEINT AS h FROM pos)"]
+    for k in range(8):
+        ctes.append(
+            f"p{k + 1} AS (SELECT doc_id, i, t, {step(k)} AS h FROM p{k})"
+        )
+    return (
+        "WITH d AS (SELECT doc_id, text AS t FROM documents WHERE length(text) >= 8),\n"
+        "pos AS (SELECT doc_id, t,"
+        " CAST(unnest(range(1, length(t) - 6)) AS INT) AS i FROM d),\n"
+        + ",\n".join(ctes)
+        + ",\nm AS (SELECT doc_id, min(h) AS hm FROM p8 GROUP BY doc_id)\n"
+        "SELECT doc_id, CAST(CASE WHEN hm >= 9223372036854775808::HUGEINT"
+        " THEN hm - 18446744073709551616::HUGEINT ELSE hm END AS BIGINT)"
+        " AS fingerprint FROM m"
+    )
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH d AS (SELECT doc_id, text AS t FROM documents WHERE doc_id % 25 = 7),
+sh AS (SELECT DISTINCT doc_id, g FROM (
+       SELECT doc_id, substr(t, CAST(unnest(range(1, length(t) - 3)) AS INT), 5) AS g FROM d)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.05
+"""
 
 
 def _s2_counts_oracle() -> str:
@@ -1687,4 +1774,6 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "geocode_docs": _geocode_docs_oracle(),
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "doc_fingerprint": _fingerprint_oracle(),
     }

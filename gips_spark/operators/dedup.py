@@ -281,6 +281,28 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     ).select("id_a", "id_b", "hamming")
 
 
+def jaccard_udf(n: int = 5):
+    """Arrow kernel factory: EXACT character-n-gram Jaccard between two
+    text columns (FNV-1a-64 shingle sets via _shingle_hashes; the
+    64-bit hash is injective on any realistic window population, so
+    the value equals Jaccard over the distinct n-gram strings)."""
+
+    @pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta))
+        for i, (x, y) in enumerate(zip(ta.astype(object), tb.astype(object))):
+            sa = _shingle_hashes(x or "", n)
+            sb = _shingle_hashes(y or "", n)
+            if sa.size == 0 and sb.size == 0:
+                out[i] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            out[i] = inter / (sa.size + sb.size - inter)
+        return pd.Series(out)
+
+    return jac
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6,
     num_perm: int = 64, bands: int = 16,
@@ -297,18 +319,7 @@ def ngram_jaccard_pairs(
         .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
     )
 
-    @pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.zeros(len(ta))
-        for i, (x, y) in enumerate(zip(ta.astype(object), tb.astype(object))):
-            sa = _shingle_hashes(x or "", n)
-            sb = _shingle_hashes(y or "", n)
-            if sa.size == 0 and sb.size == 0:
-                out[i] = 1.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            out[i] = inter / (sa.size + sb.size - inter)
-        return pd.Series(out)
+    jac = jaccard_udf(n)
 
     return (
         joined.withColumn("jaccard", jac(F.col("t_a"), F.col("t_b")))
