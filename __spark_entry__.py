@@ -951,6 +951,49 @@ _ACCA_BANDS = {
 }
 
 
+def _q_mm_decode_stats(spark, sf_dir):
+    """Multimodal decode pipeline through the driver contract: GIPS-RAW
+    payloads synthesized from doc_ids by the REAL encoder
+    (multimodal.pattern_assets — closed-form pixel pattern), then the
+    REAL header-validated decode → frame-sample → bilinear 16→8 resize
+    → float64 QA stats (multimodal.decode_stats).  The oracle predicts
+    every statistic arithmetically from the pattern (16→8 bilinear with
+    align-corners=False is exactly the 2×2 block average), so the whole
+    binary round trip — header pack/unpack, byte layout, frame
+    addressing, resize weights — is what's under test."""
+    from gips_spark.operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents")
+    assets = multimodal.pattern_assets(docs.select("doc_id"), "doc_id")
+    stats = multimodal.decode_stats(assets, resize_to=8, sample_every=2)
+    return stats.select(
+        "asset_id",
+        "frame",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
+        F.round("resize_checksum", 6).alias("resize_checksum"),
+    )
+
+
+_MM_DECODE_ORACLE = """
+WITH ids AS (SELECT doc_id, doc_id % 251 AS s, 1 + doc_id % 8 AS nf FROM documents),
+fr AS (SELECT doc_id, s, CAST(unnest(range(0, nf, 2)) AS INT) AS frame FROM ids),
+cells AS (SELECT doc_id, frame, x, y,
+          ((x*(s+1) + y*(frame+2) + s*frame) % 256) / 255.0 AS v
+          FROM fr, (SELECT unnest(range(0,16)) AS x) xs,
+                   (SELECT unnest(range(0,16)) AS y) ys),
+agg AS (SELECT doc_id, frame,
+        avg(v) AS m, sqrt(avg(v*v) - avg(v)*avg(v)) AS sd,
+        sum(v * (CAST(floor(y/2) AS INT)*8 + CAST(floor(x/2) AS INT) + 1)) / 4.0 AS cks
+        FROM cells GROUP BY 1, 2)
+SELECT doc_id AS asset_id, frame, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       round(m, 6) AS mean_px, round(sd, 6) AS std_px, round(cks, 6) AS resize_checksum
+FROM agg
+"""
+
+
 def _q_acca_classes(spark, sf_dir):
     """X5 (real ACCA, round 3): the published pass-one decision tree via
     the engine's numpy kernel (operators/zonal.py:acca_classify) + the
@@ -1254,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_fingerprint": _q_doc_fingerprint,
+        "mm_decode_stats": _q_mm_decode_stats,
         "acca_classes": _q_acca_classes,
         "pixelwise_composite": _q_pixelwise_composite,
         "mosaic_first": _q_mosaic_first,
@@ -1776,4 +1820,5 @@ def oracle_sql() -> dict[str, str]:
         "geocode_docs": _geocode_docs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "doc_fingerprint": _fingerprint_oracle(),
+        "mm_decode_stats": _MM_DECODE_ORACLE,
     }

@@ -208,3 +208,89 @@ def extract_features(
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return assets.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------- SQL-derivable surface
+
+
+def pattern_assets(df: DataFrame, id_col: str, max_frames: int = 8) -> DataFrame:
+    """Synthetic GIPS-RAW assets keyed by an integer id column, built by
+    the REAL encoder over a closed-form pixel pattern:
+
+        seed = id % 251;  n_frames = 1 + id % max_frames
+        frame[fr][y][x] = (x*(seed+1) + y*(fr+2) + seed*fr) % 256
+
+    Unlike make_assets (string-keyed fixture), every byte here is
+    derivable from the id alone, so an external oracle can predict any
+    decoded statistic without re-implementing the codec — the seam the
+    driver-contract query mm_decode_stats uses."""
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids.astype(int):
+            seed = int(i) % 251
+            nf = 1 + int(i) % max_frames
+            yy, xx = np.mgrid[0:16, 0:16]
+            frames = np.stack(
+                [(xx * (seed + 1) + yy * (fr + 2) + seed * fr) % 256 for fr in range(nf)]
+            ).astype(np.uint8)
+            out.append(encode_gips_raw(frames))
+        return pd.Series(out)
+
+    idc = F.col(id_col)
+    return df.select(
+        idc.alias("asset_id"),
+        (F.lit(1) + F.pmod(idc, F.lit(max_frames))).cast("int").alias("n_frames"),
+        enc(idc).alias("payload"),
+    )
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("std_px", T.DoubleType()),
+        T.StructField("resize_checksum", T.DoubleType()),
+    ]
+)
+
+
+def decode_stats(assets: DataFrame, resize_to: int = 8, sample_every: int = 2) -> DataFrame:
+    """decode → frame-sample → bilinear resize → per-frame QA stats, one
+    Arrow pass in float64 (the multimodal ingest-QA shape: validate the
+    header, quantify each sampled frame, keep nothing heavy).
+
+    width/height come from the DECODED header (codec-checked), not the
+    input columns.  resize_checksum = Σ resized[i,j]·(i·R+j+1) — a
+    position-weighted sum that pins every resized pixel, not just the
+    global mean.  std is population std (ddof=0)."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODE_STATS_SCHEMA.fields]
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                frames = decode_gips_raw(r.payload)
+                nf, h, w = frames.shape
+                for fr in range(0, nf, sample_every):
+                    img = frames[fr]
+                    small = bilinear_resize(img, resize_to, resize_to)
+                    wgt = np.arange(1, resize_to * resize_to + 1, dtype=np.float64)
+                    out.append(
+                        {
+                            "asset_id": int(r.asset_id),
+                            "frame": fr,
+                            "width": w,
+                            "height": h,
+                            "mean_px": float(img.mean()),
+                            "std_px": float(img.std()),
+                            "resize_checksum": float(small.ravel() @ wgt),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return assets.mapInPandas(kernel, schema=DECODE_STATS_SCHEMA)

@@ -269,3 +269,31 @@ def test_multimodal_features_match_numpy_reference(spark):
                 np.float32
             )
             assert np.array_equal(got[(r["asset_id"], fr)], want)
+
+
+def test_decode_stats_matches_numpy_reference(spark):
+    """decode_stats (the QA-stats surface behind mm_decode_stats) ==
+    driver-side numpy reference in float64; header dims come from the
+    decoded payload, and the 16→8 resize checksum pins every resized
+    pixel via position weights."""
+    ids = spark.range(17).select(F.col("id").alias("doc_id"))
+    assets = multimodal.pattern_assets(ids, "doc_id")
+    got = {
+        (r["asset_id"], r["frame"]): r
+        for r in multimodal.decode_stats(assets, resize_to=8, sample_every=2).collect()
+    }
+    wgt = np.arange(1, 65, dtype=np.float64)
+    n_rows = 0
+    for r in assets.collect():
+        frames = multimodal.decode_gips_raw(bytes(r["payload"]))
+        assert frames.shape == (r["n_frames"], 16, 16)
+        for fr in range(0, r["n_frames"], 2):
+            img = frames[fr]
+            small = multimodal.bilinear_resize(img, 8, 8)
+            row = got[(r["asset_id"], fr)]
+            n_rows += 1
+            assert (row["width"], row["height"]) == (16, 16)
+            assert row["mean_px"] == img.mean()
+            assert row["std_px"] == img.std()
+            assert row["resize_checksum"] == small.ravel() @ wgt
+    assert n_rows == len(got)
