@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as em
 
 SF = "/root/testdata/sf0.001"
-FAST = ["pip_polygon", "knn_events", "zonal_grid_stats", "latest_per_key", "token_stats", "incr_exact_dedup", "geocode_docs"]
+FAST = ["pip_polygon", "knn_events", "zonal_grid_stats", "latest_per_key", "token_stats", "incr_exact_dedup", "geocode_docs", "doc_fingerprint", "mm_decode_stats"]
 
 
 def _canon(df):
