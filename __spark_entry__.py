@@ -951,6 +951,64 @@ _ACCA_BANDS = {
 }
 
 
+def _q_corpus_clean(spark, sf_dir):
+    """The corpus-cleaning COMPOSITION through the driver contract:
+    analyze_documents → quality_filter (token floor + punct-ratio cap)
+    → exact_dedup on the survivors → keep canonical docs only.  One
+    Arrow analysis pass, one 128-bit hash shuffle — the 100-TB shape.
+    Catalyst prunes the unused analysis columns (lang/fingerprint UDFs
+    never run).  Oracle: the same filter + min-id-per-normalized-text
+    selection in straight-line SQL.
+
+    Both stages BITE: every 7th doc is unioned back as a case/whitespace
+    mutation (id+100000) that normalizes to the same text — exact_dedup
+    must map it to the original and drop it — and the 40-token floor
+    removes the short tail (sf0.01: 331/535 survive, 0 mutants)."""
+    from gips_spark.operators import dedup, textops
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit(" "))).alias("text"),
+    )
+    analyzed = textops.analyze_documents(docs.unionByName(mutants))
+    kept = textops.quality_filter(analyzed, min_tokens=40, max_punct_ratio=0.3)
+    canon = dedup.exact_dedup(kept, "doc_id", "text")
+    canonical_ids = canon.where(F.col("id") == F.col("canonical_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        kept.select("doc_id", "n_chars", "n_tokens_ws")
+        .join(canonical_ids, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        )
+    )
+
+
+_CORPUS_CLEAN_ORACLE = r"""
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, upper('  ' || text || ' ')
+           FROM documents WHERE doc_id % 7 = 0),
+a AS (SELECT doc_id, text, length(text) AS n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE array_length(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t\n]', '', 'g'))) * 1.0
+           / greatest(length(text), 1) AS punct_ratio
+   FROM u),
+q AS (SELECT doc_id, text, n_chars, n_tokens_ws FROM a
+      WHERE n_tokens_ws >= 40 AND punct_ratio <= 0.3),
+k AS (SELECT doc_id, n_chars, n_tokens_ws,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM q)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens_ws AS BIGINT) AS n_tokens_ws
+FROM k JOIN (SELECT nt, min(doc_id) AS m FROM k GROUP BY nt) g
+  ON k.nt = g.nt AND k.doc_id = g.m
+"""
+
+
 def _q_mm_decode_stats(spark, sf_dir):
     """Multimodal decode pipeline through the driver contract: GIPS-RAW
     payloads synthesized from doc_ids by the REAL encoder
@@ -1297,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_fingerprint": _q_doc_fingerprint,
+        "corpus_clean": _q_corpus_clean,
         "mm_decode_stats": _q_mm_decode_stats,
         "acca_classes": _q_acca_classes,
         "pixelwise_composite": _q_pixelwise_composite,
@@ -1821,4 +1880,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "doc_fingerprint": _fingerprint_oracle(),
         "mm_decode_stats": _MM_DECODE_ORACLE,
+        "corpus_clean": _CORPUS_CLEAN_ORACLE,
     }
