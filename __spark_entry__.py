@@ -831,7 +831,10 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (rows-only: hash-function-defined)."""
+    """MinHash-LSH near-dup candidates.  Since round 5 checked against a
+    TRUE independent oracle (_minhash_pairs_oracle): DuckDB recomputes
+    shingle FNV hashes, the splitmix64 permutation family, banding and
+    the match-fraction estimate from scratch."""
     from gips_spark.operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -861,7 +864,8 @@ def _q_incr_exact_dedup(spark, sf_dir):
 
 def _q_incr_minhash(spark, sf_dir):
     """Incremental minhash near-dup candidates vs the persisted corpus
-    band table (rows-only: hash-function-defined → frozen pin)."""
+    band table.  Since round 5 checked against a TRUE independent oracle
+    (_incr_minhash_oracle) instead of the frozen pin."""
     from gips_spark.operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1364,8 +1368,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Frozen sf0.01 outputs of the hash-family-defined pair queries
-#: (regression pins; see oracle_sql comments).
+def _minhash_perms() -> list:
+    """The engine's 64 permutation pairs h_i(x) = (a_i·x + b_i) mod 2^64,
+    re-derived here in PURE-PYTHON int arithmetic (independent of the
+    numpy uint64 path): splitmix64 of the permutation index (public
+    algorithm, Steele et al. 2014), a_i forced odd.  Returned as
+    (p, a_hi32, a_lo32, b) so the oracle's modular multiply stays inside
+    HUGEINT range (a·x < 2^128 overflows; the 32-bit split keeps every
+    intermediate ≤ 2^96)."""
+    M = 1 << 64
+    out = []
+    for idx in range(1, 65):
+        z = (idx * 0x9E3779B97F4A7C15) % M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % M
+        a = z | 1
+        b = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % M
+        out.append((idx, a >> 32, a & 0xFFFFFFFF, b))
+    return out
+
+
+def _minhash_sig_ctes() -> str:
+    """Shared CTE chain: documents → 5-byte FNV-1a shingle set → 64
+    minhash components per doc → 16 four-component band keys.  A full
+    independent re-implementation of minhash_signature_udf +
+    the banding in minhash_lsh_pairs (band-key equality ⟺ slice
+    equality, so xxhash64 band keys need not be reproduced)."""
+    vals = ", ".join(
+        f"({p}, {ah}::HUGEINT, {al}::HUGEINT, {b}::HUGEINT)"
+        for p, ah, al, b in _minhash_perms()
+    )
+
+    def fnv_step(k: int) -> str:
+        return (
+            "((h - (h % 256) + xor((h % 256)::BIGINT, "
+            f"ord(substr(t, i+{k}, 1))::BIGINT)::HUGEINT)"
+            " * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT"
+        )
+
+    ctes = ["f0 AS (SELECT doc_id, i, t, 14695981039346656037::HUGEINT AS h FROM pos)"]
+    for k in range(5):
+        ctes.append(
+            f"f{k + 1} AS (SELECT doc_id, i, t, {fnv_step(k)} AS h FROM f{k})"
+        )
+    return (
+        "WITH d AS (SELECT doc_id, text AS t FROM documents),\n"
+        "pos AS (SELECT doc_id, t, CAST(unnest(range(1, length(t) - 3)) AS INT) AS i FROM d),\n"
+        + ",\n".join(ctes)
+        + ",\nsh AS (SELECT DISTINCT doc_id, h FROM f5),\n"
+        f"perms(p, ah, al, b) AS (VALUES {vals}),\n"
+        "sig AS (SELECT doc_id, p,\n"
+        "        min((((ah * h) % 4294967296::HUGEINT) * 4294967296::HUGEINT\n"
+        "             + (al * h) % 18446744073709551616::HUGEINT + b)\n"
+        "            % 18446744073709551616::HUGEINT) AS v\n"
+        "        FROM sh CROSS JOIN perms GROUP BY 1, 2),\n"
+        "bnd AS (SELECT doc_id, CAST(floor((p - 1) / 4) AS INT) AS band,\n"
+        "               string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS bkey\n"
+        "        FROM sig GROUP BY 1, 2)"
+    )
+
+
+def _minhash_pairs_oracle() -> str:
+    return (
+        _minhash_sig_ctes() + ",\n"
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        "         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey"
+        " AND a.doc_id < b.doc_id),\n"
+        "est AS (SELECT c.id_a, c.id_b,\n"
+        "        sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS je\n"
+        "        FROM cand c JOIN sig sa ON sa.doc_id = c.id_a\n"
+        "        JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p GROUP BY 1, 2)\n"
+        "SELECT id_a, id_b, round(je, 4) AS jaccard_est FROM est WHERE je >= 0.8"
+    )
+
+
+def _incr_minhash_oracle() -> str:
+    return (
+        _minhash_sig_ctes() + ",\n"
+        "cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id\n"
+        "         FROM bnd n JOIN bnd c ON n.band = c.band AND n.bkey = c.bkey\n"
+        "         WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0),\n"
+        "est AS (SELECT cd.new_id, cd.corpus_id,\n"
+        "        sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS je\n"
+        "        FROM cand cd JOIN sig sa ON sa.doc_id = cd.new_id\n"
+        "        JOIN sig sb ON sb.doc_id = cd.corpus_id AND sb.p = sa.p GROUP BY 1, 2)\n"
+        "SELECT new_id, corpus_id, round(je, 4) AS jaccard_est FROM est WHERE je >= 0.8"
+    )
+
+
+#: Frozen sf0.01 outputs of the hash-family-defined pair queries.
+#: Since round 5 the minhash queries have TRUE independent SQL oracles
+#: (_minhash_pairs_oracle above); these stay as belt-and-braces
+#: regression pins, asserted against the live oracles in
+#: tests/test_entry.py::test_minhash_oracle_reproduces_pins.
 _INCR_MINHASH_PIN = [
     (87, 134, 0.9844), (245, 8, 1.0), (293, 58, 0.9688), (295, 374, 0.9688),
     (323, 166, 1.0), (377, 72, 0.9844), (389, 310, 0.9844), (393, 420, 0.9844),
@@ -1726,24 +1820,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(ck.corpus_canon, bk.batch_canon) AS BIGINT) AS canonical_id
             FROM batch b JOIN bk USING (nt) LEFT JOIN ck USING (nt)
         """,
-        "incr_minhash": (
-            "SELECT CAST(new_id AS BIGINT) AS new_id, CAST(corpus_id AS BIGINT) AS corpus_id,"
-            " CAST(jaccard_est AS DOUBLE) AS jaccard_est FROM (VALUES "
-            + ",".join(
-                f"({a},{b},{j})"
-                for a, b, j in _INCR_MINHASH_PIN
-            )
-            + ") t(new_id, corpus_id, jaccard_est)"
-        ),
-        "minhash_pairs": (
-            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
-            " CAST(jaccard_est AS DOUBLE) AS jaccard_est FROM (VALUES "
-            + ",".join(
-                f"({a},{b},{j})"
-                for a, b, j in _MINHASH_PIN
-            )
-            + ") t(id_a, id_b, jaccard_est)"
-        ),
+        # round 5: TRUE independent SQL oracles — full minhash pipeline
+        # (FNV shingles, splitmix permutation family in 32-bit-split
+        # HUGEINT mod-2^64 arithmetic, banding, estimate) recomputed in
+        # DuckDB; the frozen pins remain as pytest cross-checks.
+        "incr_minhash": _incr_minhash_oracle(),
+        "minhash_pairs": _minhash_pairs_oracle(),
         "simhash_pairs": (
             "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
             " CAST(hamming AS INT) AS hamming FROM (VALUES "

@@ -59,3 +59,22 @@ def test_fast_queries_match_duckdb(spark):
         assert list(got.columns) == list(want.columns), name
         assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
         assert got.equals(want), name
+
+
+def test_minhash_oracle_reproduces_pins():
+    """The round-5 independent minhash SQL oracles must reproduce the
+    frozen sf0.01 pins exactly (belt-and-braces: an accidental edit to
+    the oracle builder fails here without needing the Spark side)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    got = sorted(
+        tuple(r) for r in con.execute(em._minhash_pairs_oracle()).fetchall()
+    )
+    assert got == sorted((a, b, j) for a, b, j in em._MINHASH_PIN)
+    got_i = sorted(
+        tuple(r) for r in con.execute(em._incr_minhash_oracle()).fetchall()
+    )
+    assert got_i == sorted((a, b, j) for a, b, j in em._INCR_MINHASH_PIN)
