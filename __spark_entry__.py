@@ -882,7 +882,10 @@ def _q_incr_minhash(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only: hash-function-defined)."""
+    """SimHash near-dup pairs.  Since round 5 checked against a TRUE
+    independent oracle (_simhash_pairs_oracle): DuckDB recomputes token
+    FNV hashes (recursive CTE), bit sums, pigeonhole bands and Hamming
+    from scratch."""
     from gips_spark.operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1455,6 +1458,45 @@ def _incr_minhash_oracle() -> str:
     )
 
 
+def _simhash_pairs_oracle() -> str:
+    """Independent DuckDB re-implementation of the full simhash
+    pipeline: whitespace tokens (duplicates kept), per-token FNV-1a-64
+    via a recursive CTE (variable token length), ±1 bit sums with the
+    v>0 sign rule, 4×16-bit pigeonhole band keys from the bit table,
+    Hamming distance as a per-bit inequality count.  NB DuckDB `/` on
+    HUGEINT returns DOUBLE (loses bits past 2^53) — bit extraction must
+    use integer division `//`."""
+    jt = ", ".join(
+        f"({j}, {1 << j}::HUGEINT, {j // 16}, {1 << (j % 16)})" for j in range(64)
+    )
+    return rf"""
+WITH RECURSIVE d AS (SELECT doc_id, lower(text) AS t FROM documents),
+tok AS (SELECT doc_id, tn, tk FROM (
+         SELECT doc_id, unnest(string_split_regex(trim(t), '\s+')) AS tk,
+                unnest(range(1, 1 + array_length(string_split_regex(trim(t), '\s+')))) AS tn
+         FROM d) WHERE tk <> ''),
+r(doc_id, tn, tk, k, h) AS (
+    SELECT doc_id, tn, tk, 0, 14695981039346656037::HUGEINT FROM tok
+    UNION ALL
+    SELECT doc_id, tn, tk, k + 1,
+           ((h - (h % 256) + xor((h % 256)::BIGINT, ord(substr(tk, k + 1, 1))::BIGINT)::HUGEINT)
+            * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    FROM r WHERE k < length(tk)),
+th AS (SELECT doc_id, tn, h FROM r WHERE k = length(tk)),
+jt(j, pw, band, pwin) AS (VALUES {jt}),
+bits AS (SELECT doc_id, j, band, pwin,
+         CASE WHEN sum(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+         FROM th CROSS JOIN jt GROUP BY 1, 2, 3, 4),
+bnd AS (SELECT doc_id, band, sum(bit * pwin) AS bkey FROM bits GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+        FROM cand c JOIN bits ba ON ba.doc_id = c.id_a
+        JOIN bits bb ON bb.doc_id = c.id_b AND bb.j = ba.j GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM ham WHERE hamming <= 3
+"""
+
+
 #: Frozen sf0.01 outputs of the hash-family-defined pair queries.
 #: Since round 5 the minhash queries have TRUE independent SQL oracles
 #: (_minhash_pairs_oracle above); these stay as belt-and-braces
@@ -1826,12 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB; the frozen pins remain as pytest cross-checks.
         "incr_minhash": _incr_minhash_oracle(),
         "minhash_pairs": _minhash_pairs_oracle(),
-        "simhash_pairs": (
-            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,"
-            " CAST(hamming AS INT) AS hamming FROM (VALUES "
-            + ",".join(f"({a},{b},{h})" for a, b, h in _SIMHASH_PIN)
-            + ") t(id_a, id_b, hamming)"
-        ),
+        "simhash_pairs": _simhash_pairs_oracle(),
         "range_frame_7d": """
             SELECT o_orderkey,
                    CAST(count(*) OVER (PARTITION BY o_custkey

@@ -78,3 +78,7 @@ def test_minhash_oracle_reproduces_pins():
         tuple(r) for r in con.execute(em._incr_minhash_oracle()).fetchall()
     )
     assert got_i == sorted((a, b, j) for a, b, j in em._INCR_MINHASH_PIN)
+    got_s = sorted(
+        tuple(r) for r in con.execute(em._simhash_pairs_oracle()).fetchall()
+    )
+    assert got_s == sorted((a, b, h) for a, b, h in em._SIMHASH_PIN)
