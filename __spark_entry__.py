@@ -817,8 +817,9 @@ def _q_footprint_polar(spark, sf_dir):
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate CLUSTERS via distributed connected
     components (min-label propagation); component = canonical doc id.
-    Oracle: recursive-CTE transitive closure over the same (frozen,
-    deterministic) minhash pair set."""
+    Oracle: recursive-CTE transitive closure over the frozen minhash
+    pair set, which pytest asserts equal to the independent
+    _minhash_pairs_oracle recomputation."""
     from gips_spark.operators import dedup
 
     docs = _read(spark, sf_dir, "documents")
@@ -1898,9 +1899,12 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_orderdate ASC, o_orderkey ASC)
         """,
         # dedup_clusters: exact transitive closure (recursive CTE) over
-        # the SAME deterministic pair set (the frozen minhash pins —
-        # the pairs themselves are hash-family-defined, but clustering
-        # them is pure graph math, independently recomputed here).
+        # the frozen minhash pair set.  Since round 5 the pins are
+        # themselves asserted equal to the fully independent
+        # _minhash_pairs_oracle in pytest, so this closure is
+        # transitively independent of the engine (the inline live-edge
+        # variant was verified identical but costs ~34 s per run —
+        # the pin edges keep the harness fast).
         "dedup_clusters": (
             "WITH RECURSIVE edges(a, b) AS (SELECT * FROM (VALUES "
             + ",".join(
