@@ -1229,6 +1229,26 @@ def _q_mosaic_first(spark, sf_dir):
     )
 
 
+def _q_dos_reflectance(spark, sf_dir):
+    """X6 atmospheric correction through the driver contract: DOS1
+    dark-object subtraction (operators/atmos.py — per-(scene,band) haze
+    from a JVM array_min rollup, broadcast back, codegen'd transform
+    subtract+clamp) over the SQL-derivable event raster stack.  Oracle:
+    the same min-filter-subtract in plain SQL; quarter-quantized values
+    keep the engine's float32 pixels bit-exact vs SQL doubles."""
+    from gips_spark.operators import atmos
+
+    out = atmos.dos_correction(_stack_chunks(spark, sf_dir))
+    return out.select(
+        "scene_id", "chunk_id", F.posexplode("pixels").alias("pix", "v")
+    ).select(
+        "scene_id",
+        "chunk_id",
+        "pix",
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
 def _q_geocode_docs(spark, sf_dir):
     """X7 geocoder (incl. the ccTLD country-centroid tier) through the
     driver contract: synthetic urls/texts derived from `documents` via
@@ -1368,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acca_classes": _q_acca_classes,
         "pixelwise_composite": _q_pixelwise_composite,
         "mosaic_first": _q_mosaic_first,
+        "dos_reflectance": _q_dos_reflectance,
         "geocode_docs": _q_geocode_docs,
     }
 
@@ -1997,6 +2018,19 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(arg_min(val, scene) FILTER (val <> -999.0),
                                   -999.0), 4) AS val
             FROM m GROUP BY 1, 2
+            """
+        ),
+        "dos_reflectance": (
+            _points_cte()
+            + ","
+            + _STACK_CTE_BODY
+            + """
+            , hz AS (SELECT scene, dt, min(val) FILTER (val <> -999.0) AS haze
+                     FROM m GROUP BY 1, 2)
+            SELECT 'S' || m.scene || '_' || m.dt AS scene_id, m.chunk AS chunk_id, m.pix,
+                   round(CASE WHEN m.val = -999.0 THEN -999.0
+                              ELSE greatest(m.val - coalesce(hz.haze, 0), 0) END, 4) AS val
+            FROM m JOIN hz ON m.scene = hz.scene AND m.dt = hz.dt
             """
         ),
         "geocode_docs": _geocode_docs_oracle(),

@@ -285,3 +285,69 @@ def test_acca_cloud_mask_nonrepresentable_nodata(spark, raster_chunks):
     vals = np.unique(np.concatenate([np.asarray(p, dtype=np.float32) for p in m["pixels"]]))
     assert set(vals.tolist()) <= {0.0, 1.0, float(odd)}
     assert float(odd) in vals.tolist()  # nodata survived, not reclassified
+
+
+def test_dos_correction_matches_numpy(spark):
+    """DOS1 (atmos.py): engine correction == numpy reference on
+    UN-quantized random floats with nodata holes and an all-nodata
+    chunk; haze = per-(scene,band) min over non-nodata pixels, output
+    clamped at 0, nodata preserved.  Also pins the gain/offset hook."""
+    import numpy as np
+    from gips_spark.operators import atmos
+    from gips_spark.sources.fixtures import RASTER_SCHEMA
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for scene in ("SA", "SB"):
+        for band in ("red", "nir"):
+            for chunk in range(3):
+                px = (rng.random(40) * 0.8 + 0.05).astype(np.float32)
+                if scene == "SA" and band == "red" and chunk == 2:
+                    px[:] = -999.0  # all-nodata chunk
+                else:
+                    px[rng.integers(0, 40, 5)] = -999.0
+                rows.append(
+                    (scene, band, chunk, 0, chunk, 40, 1, px.tolist(), -999.0,
+                     [0.0] * 6)
+                )
+    chunks = spark.createDataFrame(rows, RASTER_SCHEMA)
+    got = {
+        (r["scene_id"], r["band"], r["chunk_id"]): np.array(r["pixels"], dtype=np.float32)
+        for r in atmos.dos_correction(chunks).collect()
+    }
+    # numpy reference
+    arrs = {}
+    for scene, band, chunk, *_rest in rows:
+        arrs.setdefault((scene, band), {})[chunk] = np.array(
+            _rest[4], dtype=np.float32
+        )
+    n_checked = 0
+    for (scene, band), by_chunk in arrs.items():
+        allpx = np.concatenate(list(by_chunk.values()))
+        valid = allpx[allpx != np.float32(-999.0)]
+        haze = valid.min() if valid.size else np.float32(0.0)
+        for chunk, px in by_chunk.items():
+            want = np.where(
+                px == np.float32(-999.0),
+                px,
+                np.maximum(px - haze, np.float32(0.0)),
+            )
+            assert np.array_equal(got[(scene, band, chunk)], want)
+            n_checked += 1
+    assert n_checked == len(rows)
+
+    # gain/offset: linear transform, nodata untouched
+    go = {
+        (r["scene_id"], r["band"], r["chunk_id"]): np.array(r["pixels"], dtype=np.float32)
+        for r in atmos.apply_gain_offset(chunks, 0.01, -0.2).collect()
+    }
+    for scene, band, chunk, *_rest in rows:
+        px = np.array(_rest[4], dtype=np.float32)
+        # engine arithmetic is float64 (Spark widens float * double)
+        # with a single final cast — mirror that rounding profile
+        want = np.where(
+            px == np.float32(-999.0),
+            px,
+            (px.astype(np.float64) * 0.01 - 0.2).astype(np.float32),
+        )
+        assert np.array_equal(go[(scene, band, chunk)], want)
