@@ -1229,6 +1229,62 @@ def _q_mosaic_first(spark, sf_dir):
     )
 
 
+#: Shared Spark/DuckDB expression: appends a repeated marker phrase so
+#: every language branch (incl. CJK/Cyrillic) and the argmax tie logic
+#: are exercised — raw documents only ever hit en/und.
+_LANG_SPICE_EXPR = (
+    "text || repeat(CASE doc_id % 9"
+    " WHEN 0 THEN ' der und die ist nicht'"
+    " WHEN 1 THEN ' le et les des est'"
+    " WHEN 2 THEN ' el los que por una'"
+    " WHEN 3 THEN ' o em uma não para'"
+    " WHEN 4 THEN ' и в не что это'"
+    " WHEN 5 THEN 'のにはをです'"
+    " WHEN 6 THEN '的是在了我'"
+    " WHEN 7 THEN ' the and of to in'"
+    " ELSE '' END, 12)"
+)
+
+
+def _q_lang_pred(spark, sf_dir):
+    """X7 language-id kernel (textx.lang_id via lang_id_udf) under the
+    contract: marker-count argmax with strict-greater updates in fixed
+    language order (earlier language wins ties), 'und' when no marker
+    hits.  Input = documents text spiced by a SHARED SQL expression
+    (_LANG_SPICE_EXPR) so all 8 language branches fire.  Oracle:
+    per-language marker counts via non-overlapping replace-counting in
+    SQL (identical consumption semantics to the engine's regex count),
+    row_number over (score DESC, priority ASC)."""
+    from gips_spark.functions import udfs
+
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(_LANG_SPICE_EXPR).alias("txt"))
+    return d.select("doc_id", udfs.lang_id_udf(F.col("txt")).alias("lang_pred"))
+
+
+def _lang_pred_oracle() -> str:
+    from gips_spark.functions import textx
+
+    score_rows = []
+    for prio, (lang, markers) in enumerate(textx._LANG_MARKERS.items()):
+        terms = " + ".join(
+            "(length(t) - length(replace(t, '%s', ''))) // %d"
+            % (mk.replace("'", "''"), len(mk))
+            for mk in markers
+        )
+        score_rows.append(f"SELECT doc_id, '{lang}' AS lang, {prio} AS prio, {terms} AS score FROM d")
+    return (
+        "WITH d AS (SELECT doc_id, ' ' || lower(" + _LANG_SPICE_EXPR + ") || ' ' AS t"
+        " FROM documents),\n"
+        "s AS (" + " UNION ALL ".join(score_rows) + "),\n"
+        "r AS (SELECT doc_id, lang, score,\n"
+        "             row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY score DESC, prio ASC) AS rn FROM s)\n"
+        "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred\n"
+        "FROM r WHERE rn = 1"
+    )
+
+
 def _q_dos_reflectance(spark, sf_dir):
     """X6 atmospheric correction through the driver contract: DOS1
     dark-object subtraction (operators/atmos.py — per-(scene,band) haze
@@ -1388,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acca_classes": _q_acca_classes,
         "pixelwise_composite": _q_pixelwise_composite,
         "mosaic_first": _q_mosaic_first,
+        "lang_pred": _q_lang_pred,
         "dos_reflectance": _q_dos_reflectance,
         "geocode_docs": _q_geocode_docs,
     }
@@ -2033,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN hz ON m.scene = hz.scene AND m.dt = hz.dt
             """
         ),
+        "lang_pred": _lang_pred_oracle(),
         "geocode_docs": _geocode_docs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "doc_fingerprint": _fingerprint_oracle(),
