@@ -1285,6 +1285,40 @@ def _lang_pred_oracle() -> str:
     )
 
 
+#: Shared spice: apostrophe-suffixed words and punctuation runs — the
+#: branches of the BPE-ish token regex raw documents never hit.
+_TOK_SPICE_EXPR = (
+    "text || (CASE doc_id % 3"
+    " WHEN 0 THEN ' don''t O''Brien''s a,b;;c!!'"
+    " WHEN 1 THEN ' it''s can''t''ve x''9'"
+    " ELSE '' END)"
+)
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    """X7 BPE-ish token counter (textx.token_count: word pieces with
+    optional '-suffix, plus single punctuation marks) under the
+    contract, with apostrophe/punct spice via a shared SQL expression.
+    Oracle: len(regexp_extract_all(...)) — Python re and RE2 agree on
+    this leftmost/first-alternative/greedy pattern (verified on
+    adversarial apostrophe/unicode/punct-run cases)."""
+    from gips_spark.functions import udfs
+
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(_TOK_SPICE_EXPR).alias("txt"))
+    return d.select(
+        "doc_id", udfs.token_count_udf(F.col("txt")).alias("n_tokens_bpe")
+    )
+
+
+def _token_count_bpe_oracle() -> str:
+    pat = r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]".replace("'", "''")
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(" + _TOK_SPICE_EXPR + ", '"
+        + pat + "')) AS BIGINT) AS n_tokens_bpe FROM documents"
+    )
+
+
 def _q_dos_reflectance(spark, sf_dir):
     """X6 atmospheric correction through the driver contract: DOS1
     dark-object subtraction (operators/atmos.py — per-(scene,band) haze
@@ -1445,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixelwise_composite": _q_pixelwise_composite,
         "mosaic_first": _q_mosaic_first,
         "lang_pred": _q_lang_pred,
+        "token_count_bpe": _q_token_count_bpe,
         "dos_reflectance": _q_dos_reflectance,
         "geocode_docs": _q_geocode_docs,
     }
@@ -2091,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "lang_pred": _lang_pred_oracle(),
+        "token_count_bpe": _token_count_bpe_oracle(),
         "geocode_docs": _geocode_docs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "doc_fingerprint": _fingerprint_oracle(),
