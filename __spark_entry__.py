@@ -831,6 +831,22 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same cluster semantics as dedup_clusters but through the
+    LARGE-STAR/SMALL-STAR O(log²n) variant (Kiveris et al. 2014) —
+    the two distributed CC implementations must agree with the
+    recursive-CTE closure oracle independently."""
+    from gips_spark.operators import dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    cc = dedup.connected_components_star(pairs)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("comp").cast("bigint").alias("component"),
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates.  Since round 5 checked against a
     TRUE independent oracle (_minhash_pairs_oracle): DuckDB recomputes
@@ -1470,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_exact_dedup": _q_incr_exact_dedup,
         "incr_minhash": _q_incr_minhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2019,6 +2036,17 @@ def oracle_sql() -> dict[str, str]:
         # variant was verified identical but costs ~34 s per run —
         # the pin edges keep the harness fast).
         "dedup_clusters": (
+            "WITH RECURSIVE edges(a, b) AS (SELECT * FROM (VALUES "
+            + ",".join(
+                f"({a},{b}),({b},{a})" for a, b, _ in _MINHASH_PIN
+            )
+            + ") t(a, b)), r(id, comp) AS ("
+            "SELECT a, a FROM edges UNION "
+            "SELECT e.a, r.comp FROM edges e JOIN r ON e.b = r.id) "
+            "SELECT CAST(id AS BIGINT) AS doc_id, "
+            "CAST(min(comp) AS BIGINT) AS component FROM r GROUP BY 1"
+        ),
+        "dedup_clusters_star": (
             "WITH RECURSIVE edges(a, b) AS (SELECT * FROM (VALUES "
             + ",".join(
                 f"({a},{b}),({b},{a})" for a, b, _ in _MINHASH_PIN
