@@ -1335,6 +1335,59 @@ def _token_count_bpe_oracle() -> str:
     )
 
 
+def _q_quality_scores(spark, sf_dir):
+    """X7 quality-scoring kernel (textx.quality_score via
+    textops.quality_scores) under the contract: token/punct/en-stopword
+    features + the clipped [0,1] composite score.  Oracle recomputes
+    every feature and the score in SQL with the same double-arithmetic
+    expression order (ratios are single divisions of exact ints, score
+    terms written in kernel order → bit-stable, round 6)."""
+    from gips_spark.operators import textops
+
+    docs = _read(spark, sf_dir, "documents")
+    q = textops.quality_scores(docs)
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def _quality_scores_oracle() -> str:
+    from gips_spark.functions import textx
+
+    stop_terms = " + ".join(
+        "(length(lw) - length(replace(lw, '%s', ''))) // %d" % (mk, len(mk))
+        for mk in textx._LANG_MARKERS["en"]
+    )
+    return rf"""
+WITH d AS (SELECT doc_id, text AS t, ' ' || lower(text) || ' ' AS lw FROM documents),
+f AS (SELECT doc_id,
+             length(t) AS n_chars,
+             CASE WHEN length(trim(t)) = 0 THEN 0
+                  ELSE array_length(string_split_regex(trim(t), '\s+')) END AS n_tokens,
+             length(t) - length(regexp_replace(t, '[^a-zA-Z0-9_ \t\n]', '', 'g')) AS n_punct,
+             {stop_terms} AS n_stop
+      FROM d),
+r AS (SELECT doc_id, n_chars, n_tokens,
+             CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END AS mean_tok_len
+      FROM f)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(least(greatest(n_tokens / 100.0, 0), 1) * 0.4
+             + least(greatest(stop_ratio * 10.0, 0), 1) * 0.3
+             + least(greatest(1.0 - punct_ratio * 5.0, 0), 1) * 0.3, 6) AS quality
+FROM r
+"""
+
+
 def _q_dos_reflectance(spark, sf_dir):
     """X6 atmospheric correction through the driver contract: DOS1
     dark-object subtraction (operators/atmos.py — per-(scene,band) haze
@@ -1497,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_first": _q_mosaic_first,
         "lang_pred": _q_lang_pred,
         "token_count_bpe": _q_token_count_bpe,
+        "quality_scores": _q_quality_scores,
         "dos_reflectance": _q_dos_reflectance,
         "geocode_docs": _q_geocode_docs,
     }
@@ -2155,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_pred": _lang_pred_oracle(),
         "token_count_bpe": _token_count_bpe_oracle(),
+        "quality_scores": _quality_scores_oracle(),
         "geocode_docs": _geocode_docs_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "doc_fingerprint": _fingerprint_oracle(),

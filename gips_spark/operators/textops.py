@@ -49,3 +49,38 @@ def language_histogram(analyzed: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens_ws").alias("n_tokens"))
         .orderBy(F.desc("n_docs"), F.asc("lang_pred"))
     )
+
+
+QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("punct_ratio", T.DoubleType()),
+        T.StructField("stop_ratio", T.DoubleType()),
+        T.StructField("mean_tok_len", T.DoubleType()),
+        T.StructField("quality", T.DoubleType()),
+    ]
+)
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The full quality-feature kernel (textx.quality_score: length /
+    punctuation / en-stopword ratios + clipped [0,1] score) as one
+    Arrow pass — the numeric-feature sibling of analyze_documents."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from gips_spark.functions import textx
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in QUALITY_SCHEMA.fields]
+        for pdf in it:
+            q = textx.quality_score(pdf[text_col])
+            q.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield q[cols]
+
+    return docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)).mapInPandas(
+        kernel, schema=QUALITY_SCHEMA
+    )
