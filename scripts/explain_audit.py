@@ -182,6 +182,32 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
         ("geocode: scan pruned to url", "html" not in gp and "warc_ts" not in gp)
     )
 
+    # r5: corpus_clean composition — Catalyst must prune the UNUSED
+    # Arrow kernels in analyze_documents (lang_id, fingerprint, BPE
+    # token count): the quality-filter + exact-dedup pipeline reads
+    # only JVM-expression columns, so the whole plan is Python-free
+    from gips_spark.operators import dedup as dd_ops
+    from gips_spark.operators import textops as to_ops
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z a b c d e f "), F.col("id").cast("string")).alias("text"),
+    )
+    kept = to_ops.quality_filter(
+        to_ops.analyze_documents(docs), min_tokens=5, max_punct_ratio=0.3
+    )
+    canon = (
+        dd_ops.exact_dedup(kept, "doc_id", "text")
+        .where(F.col("id") == F.col("canonical_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    ccp = formatted(kept.select("doc_id", "n_chars", "n_tokens_ws").join(canon, "doc_id"))
+    sections["corpus_clean (filter → dedup → canonical, unused UDFs pruned)"] = ccp
+    checks.append(
+        ("corpus-clean: unused Arrow kernels pruned (zero Python)",
+         "EvalPython" not in ccp and "MapInPandas" not in ccp)
+    )
+
     directory.unpersist()
     enr.unpersist()
     return sections, checks
