@@ -70,6 +70,35 @@ def main():
             failures.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"{name}: DUCKDB ERROR {str(ex)[:300]}", flush=True)
             continue
+        # dtype-KIND gate first: the round-9 float canonicalization
+        # below would mask int-vs-float / numeric-vs-string artifacts
+        # the driver's strict hash catches (r2 lesson: HUGEINT leak)
+        import datetime as _dt
+
+        def _kind(df, c):
+            k = df[c].dtype.kind
+            if k == "O":
+                nn = df[c].dropna()
+                if len(nn) and isinstance(
+                    nn.iloc[0], (_dt.date, _dt.datetime)
+                ):
+                    return "M"  # Spark dates land as object(datetime.date)
+            return k
+
+        kinds_g = {c: _kind(got, c) for c in sorted(got.columns)}
+        kinds_w = {c: _kind(want, c) for c in sorted(want.columns)}
+        num = {"i": "n", "u": "n", "f": "n"}
+        if set(kinds_g) == set(kinds_w):
+            mism = {
+                c: (kinds_g[c], kinds_w[c])
+                for c in kinds_g
+                if num.get(kinds_g[c], kinds_g[c]) != num.get(kinds_w[c], kinds_w[c])
+                or (kinds_g[c] in "iu") != (kinds_w[c] in "iu")
+            }
+            if mism:
+                failures.append((name, f"dtype kinds {mism}"))
+                print(f"{name}: DTYPE MISMATCH {mism}", flush=True)
+                continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             failures.append((name, f"cols {list(g.columns)} vs {list(w.columns)}"))
