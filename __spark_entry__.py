@@ -1245,6 +1245,117 @@ def _q_mosaic_first(spark, sf_dir):
     )
 
 
+# -- temporal rollup / gap-fill / sessionize / stats / window-nav (r5) ------
+# The hypertable-rollup family (operators/temporal.py) + the A-family
+# statistical aggregates (relational.grouped_stats) + window-navigation
+# breadth.  All JVM built-ins; oracles recompute bucket/spine/fill/
+# session arithmetic verbatim in DuckDB.
+
+_EPOCH_2024 = 1704067200.0  # 2024-01-01T00:00:00Z — events table origin
+
+
+def _q_gapfill_locf(spark, sf_dir):
+    """Hypertable gap-fill, LOCF (operators/temporal.py:gapfill): hourly
+    rollup of events for users ≡0 (mod 10) → dense per-user bucket
+    spine → last observation carried forward."""
+    from gips_spark.operators import temporal
+
+    ev = _read(spark, sf_dir, "events").where("user_id % 10 = 0")
+    out = temporal.gapfill(temporal.resample_rollup(ev), method="locf")
+    return out.select(
+        "user_id",
+        "bucket",
+        F.round("v_avg", 6).alias("v_avg"),
+        F.round("v_fill", 6).alias("v_fill"),
+    )
+
+
+def _q_interp_linear(spark, sf_dir):
+    """Hypertable gap-fill, linear interpolation between bracketing
+    observations (6-hour buckets; leading/trailing gaps stay null)."""
+    from gips_spark.operators import temporal
+
+    ev = _read(spark, sf_dir, "events").where("user_id % 10 = 0")
+    ru = temporal.resample_rollup(ev, bucket_seconds=21600)
+    out = temporal.gapfill(ru, method="linear")
+    return out.select(
+        "user_id",
+        "bucket",
+        F.round("v_avg", 6).alias("v_avg"),
+        F.round("v_fill", 6).alias("v_fill"),
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    """Batch sessionization (operators/temporal.py:sessionize): 2-hour
+    inactivity gap splits sessions; per-session count/span/sum."""
+    from gips_spark.operators import temporal
+
+    ev = _read(spark, sf_dir, "events").where("user_id % 3 = 0")
+    out = temporal.sessionize(ev, gap_seconds=7200.0)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "t_start",
+        "t_end",
+        F.round("v_sum", 6).alias("v_sum"),
+    )
+
+
+def _q_stats_agg(spark, sf_dir):
+    """A-family statistical aggregates (relational.grouped_stats): per
+    event_type corr/covar/regression/skew/kurt of (days-since-origin,
+    value).  Oracle recomputes skew/kurt from explicit central moments
+    (Spark's population g1 / excess-kurtosis definitions — DuckDB's
+    built-ins are the sample-corrected variants, NOT used)."""
+    from gips_spark.operators import relational
+
+    ev = _read(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double")
+                / F.lit(1e6)
+                - F.lit(_EPOCH_2024)
+            )
+            / F.lit(86400.0)
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = relational.grouped_stats(d, "event_type", "x", "y")
+    return out.select(
+        "event_type",
+        "n",
+        *[
+            F.round(c, 6).alias(c)
+            for c in [
+                "corr_xy", "covar_s", "covar_p", "std_y",
+                "slope", "icept", "r2", "skew_y", "kurt_y",
+            ]
+        ],
+    )
+
+
+def _q_window_nav(spark, sf_dir):
+    """W-family navigation breadth: ntile / percent_rank / cume_dist /
+    nth_value over a total (ts, event_id) order per event_type."""
+    ev = _read(spark, sf_dir, "events").where("user_id % 7 = 0")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("value", 3).over(full), 6).alias("third_v"),
+    )
+
+
 #: Shared Spark/DuckDB expression: appends a repeated marker phrase so
 #: every language branch (incl. CJK/Cyrillic) and the argmax tie logic
 #: are exercised — raw documents only ever hit en/und.
@@ -1553,6 +1664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "dos_reflectance": _q_dos_reflectance,
         "geocode_docs": _q_geocode_docs,
+        "gapfill_locf": _q_gapfill_locf,
+        "interp_linear": _q_interp_linear,
+        "sessionize_2h": _q_sessionize,
+        "stats_agg": _q_stats_agg,
+        "window_nav": _q_window_nav,
     }
 
 
@@ -2215,4 +2331,149 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _fingerprint_oracle(),
         "mm_decode_stats": _MM_DECODE_ORACLE,
         "corpus_clean": _CORPUS_CLEAN_ORACLE,
+        "gapfill_locf": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                       value
+                FROM events WHERE user_id % 10 = 0
+            ),
+            obs AS (
+                SELECT user_id, bucket, avg(value) AS v_avg
+                FROM ev GROUP BY user_id, bucket
+            ),
+            ext AS (
+                SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                FROM obs GROUP BY user_id
+            ),
+            spine AS (
+                SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM ext
+            ),
+            j AS (
+                SELECT s.user_id, s.bucket, o.v_avg
+                FROM spine s LEFT JOIN obs o
+                  ON s.user_id = o.user_id AND s.bucket = o.bucket
+            )
+            SELECT user_id, bucket, round(v_avg, 6) AS v_avg,
+                   round(last_value(v_avg IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS v_fill
+            FROM j
+        """,
+        "interp_linear": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket,
+                       value
+                FROM events WHERE user_id % 10 = 0
+            ),
+            obs AS (
+                SELECT user_id, bucket, avg(value) AS v_avg
+                FROM ev GROUP BY user_id, bucket
+            ),
+            ext AS (
+                SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                FROM obs GROUP BY user_id
+            ),
+            spine AS (
+                SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM ext
+            ),
+            j AS (
+                SELECT s.user_id, s.bucket, o.v_avg
+                FROM spine s LEFT JOIN obs o
+                  ON s.user_id = o.user_id AND s.bucket = o.bucket
+            ),
+            f AS (
+                SELECT user_id, bucket, v_avg,
+                    last_value(v_avg IGNORE NULLS) OVER wback AS pv,
+                    last_value(CASE WHEN v_avg IS NOT NULL THEN bucket END
+                               IGNORE NULLS) OVER wback AS pb,
+                    first_value(v_avg IGNORE NULLS) OVER wfwd AS nv,
+                    first_value(CASE WHEN v_avg IS NOT NULL THEN bucket END
+                                IGNORE NULLS) OVER wfwd AS nb
+                FROM j
+                WINDOW wback AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wfwd AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, bucket, round(v_avg, 6) AS v_avg,
+                   round(CASE
+                       WHEN v_avg IS NOT NULL THEN v_avg
+                       WHEN pb IS NOT NULL AND nb IS NOT NULL
+                       THEN pv + (nv - pv) * ((bucket - pb) / (nb - pb))
+                       END, 6) AS v_fill
+            FROM f
+        """,
+        "sessionize_2h": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, value, epoch(ts) AS t
+                FROM events WHERE user_id % 3 = 0
+            ),
+            g AS (
+                SELECT *,
+                    CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > 7200.0
+                         THEN 1 ELSE 0 END AS is_new
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ),
+            s AS (
+                SELECT *,
+                    CAST(sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS t_start,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS t_end,
+                   round(sum(value), 6) AS v_sum
+            FROM s GROUP BY user_id, session_id
+        """,
+        "stats_agg": """
+            WITH d AS (
+                SELECT event_type,
+                       (epoch(ts) - 1704067200.0) / 86400.0 AS x,
+                       value AS y
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, avg(y) AS mu FROM d GROUP BY event_type
+            ),
+            c AS (
+                SELECT d.event_type, d.x, d.y, m.mu
+                FROM d JOIN m ON d.event_type = m.event_type
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(corr(x, y), 6) AS corr_xy,
+                   round(covar_samp(x, y), 6) AS covar_s,
+                   round(covar_pop(x, y), 6) AS covar_p,
+                   round(stddev_samp(y), 6) AS std_y,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS icept,
+                   round(regr_r2(y, x), 6) AS r2,
+                   round(avg((y - mu) * (y - mu) * (y - mu))
+                         / power(avg((y - mu) * (y - mu)), 1.5), 6) AS skew_y,
+                   round(avg((y - mu) * (y - mu) * (y - mu) * (y - mu))
+                         / power(avg((y - mu) * (y - mu)), 2.0) - 3.0, 6)
+                   AS kurt_y
+            FROM c GROUP BY event_type
+        """,
+        "window_nav": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   round(nth_value(value, 3) OVER (PARTITION BY event_type
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING), 6) AS third_v
+            FROM events WHERE user_id % 7 = 0
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+        """,
     }

@@ -154,3 +154,26 @@ def tile_timeseries(scenes: DataFrame, value_col: str = "cloud_pct", window: int
         F.avg(value_col).over(w.rowsBetween(-(window - 1), 0)).alias("moving_mean"),
         F.lag(value_col, 1).over(w).alias("prev_v"),
     )
+
+
+def grouped_stats(
+    df: DataFrame, group: str, x: str, y: str
+) -> DataFrame:
+    """A-family statistical aggregates: Pearson correlation, sample /
+    population covariance, OLS regression (slope / intercept / r²), and
+    population skewness g1 = m3/m2^1.5 and excess kurtosis m4/m2² − 3
+    (Spark's definitions).  All JVM built-ins — one shuffle, map-side
+    partial moments (`gips/data/core.py :: Data.process` stats products
+    compute exactly this family per product grid)."""
+    return df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.corr(x, y).alias("corr_xy"),
+        F.covar_samp(x, y).alias("covar_s"),
+        F.covar_pop(x, y).alias("covar_p"),
+        F.stddev_samp(y).alias("std_y"),
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("icept"),
+        F.regr_r2(y, x).alias("r2"),
+        F.skewness(y).alias("skew_y"),
+        F.kurtosis(y).alias("kurt_y"),
+    )
