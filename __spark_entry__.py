@@ -1356,6 +1356,51 @@ def _q_window_nav(spark, sf_dir):
     )
 
 
+# -- deterministic sampling / splits / heavy hitters (r5) -------------------
+
+#: the portable-hash bucket, spelled identically in Spark and DuckDB
+_PORTABLE_BUCKET_SQL = "((doc_id % 1000003) * 2654435761 + 12345) % 999983 % 1000"
+
+_STRAT_FRACS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.05}
+
+
+def _q_split_assign(spark, sf_dir):
+    """Reproducible train/val/test assignment (operators/sampling.py:
+    stratified_split, portable hash so the oracle recomputes the exact
+    arithmetic): zero-shuffle narrow projection."""
+    from gips_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    out = sampling.stratified_split(d, method="portable")
+    return out.select("doc_id", "lang", "split")
+
+
+def _q_strat_sample(spark, sf_dir):
+    """Per-stratum deterministic subsample (operators/sampling.py:
+    stratified_sample): per-lang keep fractions via a broadcast map
+    lookup against the hash bucket — layout-independent."""
+    from gips_spark.operators import sampling
+
+    d = _read(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        d, "lang", _STRAT_FRACS, method="portable"
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_top_tokens(spark, sf_dir):
+    """Exact heavy hitters (relational.heavy_hitters): whitespace-token
+    frequency top-50 with total (n DESC, tok ASC) tie-break; the global
+    sort is TakeOrderedAndProject, never a full shuffle-sort."""
+    from gips_spark.operators import relational
+
+    d = _read(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " +")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    return relational.heavy_hitters(tok, "tok", 50).select("tok", "n", "rank")
+
+
 #: Shared Spark/DuckDB expression: appends a repeated marker phrase so
 #: every language branch (incl. CJK/Cyrillic) and the argmax tie logic
 #: are exercised — raw documents only ever hit en/und.
@@ -1669,6 +1714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_2h": _q_sessionize,
         "stats_agg": _q_stats_agg,
         "window_nav": _q_window_nav,
+        "split_assign": _q_split_assign,
+        "strat_sample": _q_strat_sample,
+        "top_tokens": _q_top_tokens,
     }
 
 
@@ -2475,5 +2523,36 @@ def oracle_sql() -> dict[str, str]:
                                 AND UNBOUNDED FOLLOWING), 6) AS third_v
             FROM events WHERE user_id % 7 = 0
             WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+        """,
+        "split_assign": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN {_PORTABLE_BUCKET_SQL} < 800 THEN 'train'
+                        WHEN {_PORTABLE_BUCKET_SQL} < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "strat_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_PORTABLE_BUCKET_SQL} <
+                  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 1000
+                            WHEN 'fr' THEN 250 WHEN 'es' THEN 100
+                            WHEN 'zh' THEN 50 ELSE 0 END
+        """,
+        "top_tokens": """
+            WITH t AS (
+                SELECT unnest(string_split_regex(text, ' +')) AS tok
+                FROM documents
+            ),
+            c AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS n
+                FROM t WHERE tok <> '' GROUP BY tok
+            ),
+            r AS (
+                SELECT tok, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, tok ASC)
+                            AS INTEGER) AS rank
+                FROM c
+            )
+            SELECT tok, n, rank FROM r WHERE rank <= 50
         """,
     }

@@ -177,3 +177,15 @@ def grouped_stats(
         F.skewness(y).alias("skew_y"),
         F.kurtosis(y).alias("kurt_y"),
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """Exact global top-k by frequency — O2/A5 breadth for token/domain
+    frequency tables.  Shape at scale: map-side partial counts → one
+    hash shuffle on the value → TakeOrderedAndProject (per-partition
+    top-k merged driver-side, bounded by k) — the distinct-value table
+    is never globally sorted; the rank window runs on k rows only."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    order = [F.col("n").desc(), F.col(col).asc()]
+    top = counts.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(W.orderBy(*order)))
