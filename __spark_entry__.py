@@ -1401,6 +1401,110 @@ def _q_top_tokens(spark, sf_dir):
     return relational.heavy_hitters(tok, "tok", 50).select("tok", "n", "rank")
 
 
+# -- link-graph PageRank + TF-IDF (r5) --------------------------------------
+# Synthetic deterministic link graph over documents: every doc i links
+# to (7i+1) mod N and (13i+2) mod N — contiguous doc_ids make dst ⊆
+# nodes, so the graph has no dangling nodes (the ENGINE still computes
+# the dangling term generically; it is exactly 0.0 here, and the oracle
+# mirrors the `+ 0.0` so arithmetic stays bit-identical).
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _q_pagerank(spark, sf_dir):
+    """Damped power-iteration PageRank (operators/graph.py:pagerank)
+    over the deterministic doc link graph, 5 iterations."""
+    from gips_spark.operators import graph
+
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    e = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % F.lit(n)).alias("dst"),
+    ).union(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 2) % F.lit(n)).alias("dst"),
+        )
+    )
+    out = graph.pagerank(e, num_iters=_PR_ITERS, damping=_PR_DAMPING)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank as a CTE chain (no recursion needed
+    for a FIXED iteration count); arithmetic mirrors graph.pagerank
+    term-for-term."""
+    d = _PR_DAMPING
+    ctes = [
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        """e AS (
+            SELECT doc_id AS src, (doc_id*7+1) % (SELECT n FROM nn) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id*13+2) % (SELECT n FROM nn) FROM documents
+        )""",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank FROM documents)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(f"""r{i + 1} AS (
+            SELECT docs.doc_id AS node,
+                   (1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * (coalesce(si.s, 0.0) + 0.0) AS rank
+            FROM documents docs LEFT JOIN (
+                SELECT e.dst AS node2, sum(r{i}.rank / deg.d) AS s
+                FROM e JOIN r{i} ON e.src = r{i}.node
+                       JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+            ) si ON docs.doc_id = si.node2
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, round(rank, 9) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+def _q_tfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (textops.tfidf_top_terms)."""
+    from gips_spark.operators import textops
+
+    d = _read(spark, sf_dir, "documents")
+    out = textops.tfidf_top_terms(d, k=3)
+    return out.select(
+        "doc_id", "tok", "tf", F.round("score", 6).alias("score"), "trank"
+    )
+
+
+_TFIDF_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM t WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf,
+               tf.tf * (ln(((SELECT n FROM nn) + 1.0) / (dfreq.df + 1.0))
+                        + 1.0) AS score
+        FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+    ),
+    r AS (
+        SELECT doc_id, tok, tf, score,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok ASC) AS INTEGER) AS trank
+        FROM scored
+    )
+    SELECT doc_id, tok, tf, round(score, 6) AS score, trank
+    FROM r WHERE trank <= 3
+"""
+
+
 #: Shared Spark/DuckDB expression: appends a repeated marker phrase so
 #: every language branch (incl. CJK/Cyrillic) and the argmax tie logic
 #: are exercised — raw documents only ever hit en/und.
@@ -1717,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "strat_sample": _q_strat_sample,
         "top_tokens": _q_top_tokens,
+        "pagerank_links": _q_pagerank,
+        "tfidf_top3": _q_tfidf,
     }
 
 
@@ -2555,4 +2661,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT tok, n, rank FROM r WHERE rank <= 50
         """,
+        "pagerank_links": _pagerank_oracle(),
+        "tfidf_top3": _TFIDF_ORACLE,
     }

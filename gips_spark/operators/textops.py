@@ -84,3 +84,32 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)).mapInPandas(
         kernel, schema=QUALITY_SCHEMA
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (whitespace tokens; smooth
+    idf = ln((N+1)/(df+1)) + 1).  Shape at scale: token explode →
+    (doc, tok) count (one shuffle) → doc-frequency rollup over the
+    ALREADY-distinct (doc, tok) pairs (never re-reads raw tokens) →
+    join on tok (vocab-sized side, broadcast when small) → per-doc
+    top-k window.  All JVM; the only scalar is the corpus doc count."""
+    from pyspark.sql import Window as W
+
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " +")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    idf = F.log(
+        (F.lit(float(n_docs) + 1.0)) / (F.col("df") + F.lit(1.0))
+    ) + F.lit(1.0)
+    scored = tf.join(dfreq, "tok").select(
+        id_col, "tok", "tf", (F.col("tf") * idf).alias("score")
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok").asc())
+    return scored.withColumn("trank", F.row_number().over(w)).where(
+        F.col("trank") <= k
+    )
