@@ -208,6 +208,56 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
          "EvalPython" not in ccp and "MapInPandas" not in ccp)
     )
 
+    # r5: temporal gap-fill — spine explode + window fill must be pure
+    # JVM (no Python stage anywhere), and the rollup shuffle is the
+    # hash-partition on the grouping key
+    from gips_spark.operators import temporal as tp_ops
+
+    ev = spark.range(5000).select(
+        (F.col("id") % 40).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 977).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.col("id").alias("event_id"),
+    )
+    gfp = formatted(tp_ops.gapfill(tp_ops.resample_rollup(ev), method="linear"))
+    sections["temporal gapfill (rollup → spine explode → window fill)"] = gfp
+    checks.append(
+        ("gapfill: pure JVM (no Python stage)",
+         "EvalPython" not in gfp and "MapInPandas" not in gfp)
+    )
+    checks.append(("gapfill: JVM generator explode", "Generate" in gfp))
+    ssp = formatted(tp_ops.sessionize(ev))
+    sections["sessionize (lag → running sum → session agg)"] = ssp
+    checks.append(("sessionize: pure JVM", "EvalPython" not in ssp))
+
+    # r5: sampling/split — zero-shuffle narrow projections
+    from gips_spark.operators import sampling as sm_ops
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+    )
+    spp = formatted(sm_ops.stratified_split(docs))
+    sections["stratified_split (hash-bucket projection)"] = spp
+    checks.append(("split: zero shuffle", "Exchange" not in spp))
+    smp = formatted(sm_ops.stratified_sample(docs, "lang", {"0": 0.5, "1": 1.0}))
+    checks.append(("sample: zero shuffle, pure JVM",
+                   "Exchange" not in smp and "EvalPython" not in smp))
+
+    # r5: pagerank iteration body — equi-joins only, never a cartesian
+    from gips_spark.operators import graph as gr_ops
+
+    e = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % 2000).alias("dst")
+    )
+    prp = formatted(gr_ops.pagerank(e, num_iters=2))
+    sections["pagerank (2 iterations of edges⋈ranks → groupBy dst)"] = prp
+    checks.append(
+        ("pagerank: no cartesian/broadcast-nested-loop",
+         "CartesianProduct" not in prp and "BroadcastNestedLoopJoin" not in prp)
+    )
+    checks.append(("pagerank: pure JVM loop", "EvalPython" not in prp))
+
     directory.unpersist()
     enr.unpersist()
     return sections, checks
