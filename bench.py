@@ -106,22 +106,23 @@ def main():
             pages, salt_target_rows=max(1000, n_rows // 200), salt_sample=0.02
         ).drop("extracted_text").write.mode("overwrite").parquet(enr_out)
 
-    # best-of-3 for the two weather-sensitive stages (assign's Arrow
-    # channel is syscall-bound, knn mixes driver + shuffle work): host
-    # gusts recur every 3-5 min, so a third trial materially raises the
-    # odds one lands clean; min-of-N stays the least biased estimate
+    # best-of-3 on EVERY stage (r5; was 3 only for assign/knn): host
+    # gusts recur every 3-5 min and r4's trials show 15× spread on even
+    # the sub-second stages (pip 13.9/0.8), so a third trial materially
+    # raises the odds one lands clean; min-of-N stays the least biased
+    # estimate and all trials are published in the JSON
     trials["assign"] = _best_of(_assign_once, trials=3)
 
     enr = spark.read.parquet(enr_out).persist()
     n_enr = enr.count()
 
     extents = fixtures.gen_extents(spark)
-    # directory best-of-2: rebuild fresh each trial (unpersist between —
+    # directory best-of-3: rebuild fresh each trial (unpersist between —
     # Spark would otherwise serve trial 2 from trial 1's cache, the
     # logical-plan cache-match trap)
     directory = None
     dir_trials = []
-    for i in range(2):
+    for i in range(3):
         if directory is not None:
             directory.unpersist()
         d = cell_directory.build_cell_directory(enr)
@@ -134,7 +135,8 @@ def main():
 
     # b) point-in-polygon join (cell-cover scale plan)
     trials["pip"] = _best_of(
-        lambda: _materialize(pip_join.pip_join_cells(spark, enr, extents, directory))
+        lambda: _materialize(pip_join.pip_join_cells(spark, enr, extents, directory)),
+        trials=3,
     )
 
     # c) exact kNN, 100 queries
@@ -160,7 +162,7 @@ def main():
         zs = zonal.zonal_stats(spark, prod, extents)
         _materialize(zs)
 
-    trials["zonal"] = _best_of(_zonal_once)
+    trials["zonal"] = _best_of(_zonal_once, trials=3)
     timings = {k: min(v) for k, v in trials.items()}
 
     skew = saltplan.skew_ratio(
