@@ -172,3 +172,42 @@ def test_temporal_plans_python_free(spark, stream):
             df.explain("formatted")
         plan = buf.getvalue()
         assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sessionize_agrees_with_builtin_session_window(spark):
+    """Two INDEPENDENT session implementations must agree: the
+    lag+running-sum sessionize vs Spark's built-in session_window
+    grouping (incl. the ==gap boundary, which BOTH treat as same-
+    session — probed and pinned here)."""
+    rows = []
+    # deterministic irregular stream: 6 users, gaps cycling through
+    # values below/at/above the 1800s threshold
+    gaps = [10, 450, 1800, 1801, 90, 7200, 1799, 3600, 25, 1800]
+    for u in range(6):
+        t = u * 37
+        for i, g in enumerate(gaps):
+            t += g + (u * 13 + i * 7) % 120 if g not in (1799, 1800, 1801) else g
+            rows.append((u, t, float((u + i) % 9)))
+    ev = _ev(spark, [(u, s, v) for u, s, v in rows])
+
+    a = temporal.sessionize(ev, gap_seconds=1800.0)
+    got_a = {
+        (r["user_id"], r["t_start"], r["n_events"], round(r["v_sum"], 9))
+        for r in a.collect()
+    }
+    b = (
+        ev.groupBy(
+            F.session_window("ts", "1800 seconds").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("t_start"),
+            "n",
+            F.round("v", 9).alias("v"),
+        )
+    )
+    got_b = {
+        (r["user_id"], r["t_start"], r["n"], r["v"]) for r in b.collect()
+    }
+    assert got_a == got_b and len(got_a) >= 18
