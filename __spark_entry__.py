@@ -1310,14 +1310,16 @@ def _q_stats_agg(spark, sf_dir):
     (Spark's population g1 / excess-kurtosis definitions — DuckDB's
     built-ins are the sample-corrected variants, NOT used)."""
     from gips_spark.operators import relational
+    from gips_spark.operators.temporal import _epoch_seconds
 
     ev = _read(spark, sf_dir, "events")
     d = ev.select(
         "event_type",
         (
             (
-                F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double")
-                / F.lit(1e6)
+                # tz-free epoch seconds for either timestamp flavor —
+                # matches DuckDB's epoch() regardless of session tz
+                _epoch_seconds(ev, "ts")
                 - F.lit(_EPOCH_2024)
             )
             / F.lit(86400.0)

@@ -56,14 +56,25 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     ckpt = _ckpt_fn(ranks, use_reliable_checkpoint, checkpoint_dir)
     base = (1.0 - damping) / n_nodes
+    # each iteration is persisted and MATERIALIZED (by the dangling
+    # scalar action) before the previous one is unpersisted, so every
+    # iteration's joins execute exactly once — without this, the
+    # per-iteration .first() re-runs all prior iterations between
+    # checkpoints (quadratic recompute; code-review r5)
+    prev = None
     for i in range(num_iters):
+        ranks = ranks.persist()
         # dangling nodes: rank mass with no out-edges, redistributed
-        # uniformly — a scalar agg (anti-join against deg), never wide
+        # uniformly — a scalar agg (anti-join against deg), never wide.
+        # Also the action that materializes this iteration's cache.
         dangling = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
         contrib = (
             ew.join(ranks, ew["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
@@ -80,4 +91,8 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < num_iters:
             ranks = ckpt(ranks)
+    ranks = ranks.persist()
+    ranks.count()  # materialize the final frame off the cached parent
+    if prev is not None:
+        prev.unpersist()
     return ranks

@@ -43,6 +43,15 @@ def hash_bucket(
     if method == "xxhash64":
         return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(buckets))
     if method == "portable":
+        if seed != 42:
+            # the fixed-permutation verification path has no seed slot:
+            # silently ignoring it would hand back byte-identical
+            # "independent" samples (code-review r5)
+            raise ValueError(
+                "method='portable' is a FIXED permutation (cross-engine "
+                "verification path) and ignores seed — use the default "
+                "seed=42, or method='xxhash64' for seeded draws"
+            )
         # ((id % P_PRE) * A + B) % P_MIX % buckets — every intermediate
         # is <= 1e6 * 2.66e9 ≈ 2.7e15, comfortably inside int64 in both
         # engines; id must be non-negative (true for all repo id columns)

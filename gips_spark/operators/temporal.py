@@ -29,9 +29,36 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql.types import TimestampNTZType
+
+
+def _epoch_seconds(df: DataFrame, ts: str) -> Column:
+    """Microsecond-exact epoch seconds as double, TIMEZONE-FREE for both
+    timestamp flavors (code-review r5: a bare NTZ→LTZ cast re-interprets
+    naive values in the SESSION timezone — correct only under the
+    harness's pinned UTC, and wrong across DST on a real cluster).
+
+    * TIMESTAMP_NTZ — pure calendar-field decomposition
+      (``unix_date``/``hour``/``minute``/``date_part('SECOND')`` are all
+      tz-free on NTZ), matching DuckDB's ``epoch()`` naive-as-UTC
+      semantics exactly.  NOT ``timestampdiff``: Spark coerces its NTZ
+      operands to LTZ via the session timezone (verified — a DST-gap
+      wall time shifts one hour under America/New_York).
+    * TIMESTAMP (ltz) — `unix_micros`, already an absolute instant.
+    """
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        micros = F.expr(
+            f"cast(unix_date(cast({ts} as date)) as bigint) * 86400000000"
+            f" + cast(hour({ts}) as bigint) * 3600000000"
+            f" + cast(minute({ts}) as bigint) * 60000000"
+            f" + cast(date_part('SECOND', {ts}) * 1000000 as bigint)"
+        )
+    else:
+        micros = F.unix_micros(F.col(ts))
+    return micros.cast("double") / F.lit(1e6)
 
 
 def resample_rollup(
@@ -46,7 +73,7 @@ def resample_rollup(
     for positive epochs ``floor(truncate(x)/n) == floor(x/n)``, so
     integer `unix_timestamp` is bucket-exact."""
     b = (
-        F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bucket_seconds))
+        F.floor(_epoch_seconds(events, ts) / F.lit(bucket_seconds))
         .cast("long")
         .alias("bucket")
     )
@@ -118,10 +145,10 @@ def sessionize(
 ) -> DataFrame:
     """Batch sessionization: a new session starts when the gap to the
     previous event (per key, time order) exceeds ``gap_seconds``.
-    Gap arithmetic runs on ``unix_micros / 1e6`` (microsecond-exact
-    epoch doubles — TIMESTAMP_NTZ has no direct double cast) so it is
-    timezone- and truncation-free and mirrors DuckDB's ``epoch()``."""
-    t = F.unix_micros(F.col(ts).cast("timestamp_ltz")).cast("double") / F.lit(1e6)
+    Gap arithmetic runs on microsecond-exact epoch doubles via
+    ``_epoch_seconds`` so it is timezone-, DST- and truncation-free for
+    both timestamp flavors and mirrors DuckDB's ``epoch()``."""
+    t = _epoch_seconds(events, ts)
     w = W.partitionBy(key).orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
     prev_t = F.lag(t).over(w)
     is_new = F.when(
@@ -130,9 +157,10 @@ def sessionize(
     with_sess = events.withColumn("_new", is_new).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
     )
+    eps = _epoch_seconds(events, ts)
     return with_sess.groupBy(key, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.unix_timestamp(F.min(ts)).alias("t_start"),
-        F.unix_timestamp(F.max(ts)).alias("t_end"),
+        F.floor(F.min(eps)).cast("long").alias("t_start"),
+        F.floor(F.max(eps)).cast("long").alias("t_end"),
         F.sum(value).alias("v_sum"),
     )

@@ -211,3 +211,39 @@ def test_sessionize_agrees_with_builtin_session_window(spark):
         (r["user_id"], r["t_start"], r["n"], r["v"]) for r in b.collect()
     }
     assert got_a == got_b and len(got_a) >= 18
+
+
+def test_ntz_epoch_arithmetic_is_session_tz_independent(spark):
+    """code-review r5: a bare NTZ→LTZ cast made bucket/gap arithmetic
+    depend on spark.sql.session.timeZone.  The timestampdiff path must
+    yield identical rollups and sessions under any session timezone
+    (incl. a DST-observing one)."""
+    ntz = spark.createDataFrame(
+        [(i, f"2024-03-10 0{i}:0{i}:3{i}", float(i)) for i in range(1, 6)],
+        "event_id long, tss string, value double",
+    ).select(
+        "event_id",
+        F.col("tss").cast("timestamp_ntz").alias("ts"),
+        "value",
+        F.lit(1).alias("user_id"),
+    )  # 2024-03-10 = US spring-forward day
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+
+    def run():
+        r = sorted(
+            temporal.resample_rollup(ntz).collect(),
+            key=lambda x: x["bucket"],
+        )
+        s = sorted(
+            temporal.sessionize(ntz, gap_seconds=3000.0).collect(),
+            key=lambda x: x["session_id"],
+        )
+        return [tuple(x) for x in r], [tuple(x) for x in s]
+
+    try:
+        base = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert base == shifted
