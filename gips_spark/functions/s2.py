@@ -108,7 +108,10 @@ def xyz_to_face_uv(p: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     ):
         m = face == f
         if np.any(m):
-            with np.errstate(divide="ignore", invalid="ignore"):
+            # divide/invalid/over: every branch is evaluated elementwise
+            # but only the masked face's values are kept — off-face rows
+            # can divide by ~0 (tiny minor axis) and overflow harmlessly
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
                 u = np.where(m, ue(), u)
                 v = np.where(m, ve(), v)
     return face, u, v
