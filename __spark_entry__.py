@@ -1757,6 +1757,164 @@ def _geocode_docs_oracle() -> str:
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """T-family repetition signals (textops.repetition_stats — the
+    Gopher §A1.1 within-doc repetition filters): dup-line fractions plus
+    top/dup word-n-gram char coverage.  Line structure is synthesized
+    deterministically by replacing ' table ' with a newline (plain
+    non-regex replace — identical left-to-right non-overlapping
+    semantics in Spark and DuckDB).  Oracle recomputes the whole
+    pipeline from unnested lines/n-grams."""
+    from gips_spark.operators import textops
+
+    docs = _read(spark, sf_dir, "documents").where("doc_id % 4 = 0")
+    d = docs.select(
+        "doc_id",
+        F.expr("replace(text, ' table ', chr(10))").alias("text"),
+    )
+    out = textops.repetition_stats(d)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2_char_frac",
+        "top3_char_frac",
+        "dup5_char_frac",
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+tk AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lns
+  FROM base
+),
+units AS (
+  SELECT doc_id, n_chars, 'line' AS kind, unnest(lns) AS gram FROM tk
+  UNION ALL
+  SELECT doc_id, n_chars, 'g2', unnest(CASE WHEN length(trim(text)) = 0 OR len(toks) < 2
+    THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i+1), ' ')) END)
+  FROM tk
+  UNION ALL
+  SELECT doc_id, n_chars, 'g3', unnest(CASE WHEN length(trim(text)) = 0 OR len(toks) < 3
+    THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')) END)
+  FROM tk
+  UNION ALL
+  SELECT doc_id, n_chars, 'g5', unnest(CASE WHEN length(trim(text)) = 0 OR len(toks) < 5
+    THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(list_slice(toks, i, i+4), ' ')) END)
+  FROM tk
+),
+counted AS (
+  SELECT doc_id, n_chars, kind, gram, count(*) AS cnt
+  FROM units GROUP BY doc_id, n_chars, kind, gram
+),
+perk AS (
+  SELECT doc_id, n_chars, kind,
+         sum(cnt) AS n_units, count(*) AS n_distinct,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+  FROM counted GROUP BY doc_id, n_chars, kind
+),
+tops AS (
+  SELECT doc_id, kind, cnt * length(gram) AS top_cov
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, kind
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM counted)
+  WHERE rn = 1
+),
+stats AS (
+  SELECT p.doc_id,
+    max(CASE WHEN p.kind = 'line' THEN p.n_units END) AS n_lines,
+    max(CASE WHEN p.kind = 'line' THEN round((p.n_units - p.n_distinct) / CAST(p.n_units AS DOUBLE), 9) END) AS dup_line_frac,
+    max(CASE WHEN p.kind = 'line' THEN round(least(p.dup_chars / CAST(greatest(p.n_chars, 1) AS DOUBLE), 1.0), 9) END) AS dup_line_char_frac,
+    max(CASE WHEN p.kind = 'g2' THEN round(least(t.top_cov / CAST(greatest(p.n_chars, 1) AS DOUBLE), 1.0), 9) END) AS top2_char_frac,
+    max(CASE WHEN p.kind = 'g3' THEN round(least(t.top_cov / CAST(greatest(p.n_chars, 1) AS DOUBLE), 1.0), 9) END) AS top3_char_frac,
+    max(CASE WHEN p.kind = 'g5' THEN round(least(p.dup_chars / CAST(greatest(p.n_chars, 1) AS DOUBLE), 1.0), 9) END) AS dup5_char_frac
+  FROM perk p JOIN tops t USING (doc_id, kind)
+  GROUP BY p.doc_id
+)
+SELECT b.doc_id,
+       CAST(length(b.text) AS BIGINT) AS n_chars,
+       CAST(coalesce(s.n_lines, 0) AS BIGINT) AS n_lines,
+       coalesce(s.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(s.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(s.top2_char_frac, 0.0) AS top2_char_frac,
+       coalesce(s.top3_char_frac, 0.0) AS top3_char_frac,
+       coalesce(s.dup5_char_frac, 0.0) AS dup5_char_frac
+FROM base b LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def _q_decontaminate(spark, sf_dir):
+    """T-family benchmark decontamination (textops.decontaminate —
+    GPT-3-style train/eval n-gram overlap): benchmark = first 24 tokens
+    of every doc_id % 11 == 0 document; corpus = doc_id % 2 == 0.
+    Planted overlap: docs divisible by 22 ARE benchmark sources.
+    join_on='gram' here for exact string-join oracle parity; the
+    production hash path is pinned equal by pytest."""
+    from gips_spark.operators import textops
+
+    docs = _read(spark, sf_dir, "documents").where("doc_id % 2 = 0")
+    bench = (
+        _read(spark, sf_dir, "documents")
+        .where("doc_id % 11 = 0")
+        .select(
+            F.expr(
+                "array_join(slice(split(trim(text), '\\\\s+'), 1, 24), ' ')"
+            ).alias("text")
+        )
+    )
+    out = textops.decontaminate(docs, bench, n=8, join_on="gram")
+    return out.select(
+        "doc_id",
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "hit_frac",
+    )
+
+
+_DECONTAMINATE_ORACLE = r"""
+WITH bsrc AS (
+  SELECT array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 24), ' ') AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+btk AS (SELECT trim(text) AS t, regexp_split_to_array(trim(text), '\s+') AS tk FROM bsrc),
+bg AS (
+  SELECT DISTINCT unnest(CASE WHEN length(t) = 0 OR len(tk) < 8 THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(tk)-6), i -> array_to_string(list_slice(tk, i, i+7), ' ')) END) AS gram
+  FROM btk
+),
+ctk AS (
+  SELECT doc_id, trim(text) AS t, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE doc_id % 2 = 0
+),
+cg AS (
+  SELECT doc_id, list_distinct(CASE WHEN length(t) = 0 OR len(tk) < 8 THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(range(1, len(tk)-6), i -> array_to_string(list_slice(tk, i, i+7), ' ')) END) AS gl
+  FROM ctk
+),
+dg AS (SELECT doc_id, len(gl) AS n_grams, unnest(gl) AS gram FROM cg),
+hits AS (
+  SELECT doc_id, n_grams, count(*) AS n_hit_grams
+  FROM dg JOIN bg USING (gram) GROUP BY doc_id, n_grams
+)
+SELECT doc_id,
+       CAST(n_hit_grams AS BIGINT) AS n_hit_grams,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       round(n_hit_grams / CAST(n_grams AS DOUBLE), 9) AS hit_frac
+FROM hits
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -1825,6 +1983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "pagerank_links": _q_pagerank,
         "tfidf_top3": _q_tfidf,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -2665,4 +2825,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "tfidf_top3": _TFIDF_ORACLE,
+        "repetition_stats": _REPETITION_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
     }

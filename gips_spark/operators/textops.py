@@ -113,3 +113,217 @@ def tfidf_top_terms(
     return scored.withColumn("trank", F.row_number().over(w)).where(
         F.col("trank") <= k
     )
+
+
+def word_ngrams(text_col, n: int):
+    """array<string> of word `n`-grams of a text Column (whitespace
+    tokens, single-space joined).  Pure JVM (split / sequence /
+    transform / slice / concat_ws) — no Python, codegen-friendly;
+    mirrored verbatim by the DuckDB oracles via list_transform +
+    list_slice.  Empty/short texts yield an empty array."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    # guard BOTH empty text and < n tokens: sequence(1, 0) would DESCEND
+    # ([1, 0]) and slice(_, 0, _) errors under ANSI mode
+    return F.when(
+        (F.length(F.trim(text_col)) == 0) | (F.size(toks) < n),
+        F.array().cast("array<string>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher §A1.1 repetition
+    filter family, Rae et al. 2021 — public): per document,
+
+    * ``n_lines``, ``dup_line_frac`` — fraction of line OCCURRENCES that
+      are repeats of an earlier-seen line: (n_lines - n_distinct)/n_lines;
+    * ``dup_line_char_frac`` — chars across ALL occurrences of duplicated
+      lines / total chars;
+    * ``top{n}_char_frac`` (n in top_ns) — chars covered by the most
+      frequent word n-gram (count × gram length, ties broken gram-ASC)
+      / total chars, clipped to 1 (occurrences may overlap);
+    * ``dup{n}_char_frac`` (n in dup_ns) — chars across all occurrences
+      of word n-grams seen ≥2× / total chars, clipped to 1.
+
+    Shape at 100 TB: ONE tagged explode → partial-count shuffle on
+    (doc, kind, gram) — the gram in the key spreads giant documents
+    across partitions — then doc-cardinality aggregates; everything
+    JVM-side, zero Python.  Lines = split(text, '\\n').
+    """
+    t = F.col(text_col)
+    units = [
+        F.transform(
+            F.filter(F.split(t, "\n"), lambda x: F.trim(x) != ""),
+            lambda x: F.struct(F.lit("line").alias("kind"), x.alias("gram")),
+        )
+    ]
+    def _tagger(kind: str):
+        # single-arg closure — a two-arg lambda would make pyspark's
+        # transform() pass the ELEMENT INDEX as the second argument
+        return lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("gram"))
+
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        units.append(F.transform(word_ngrams(t, n), _tagger(f"g{n}")))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).alias("n_chars"),
+        F.explode(F.concat(*units)).alias("u"),
+    ).select("doc_id", "n_chars", "u.kind", "u.gram")
+    counted = exploded.groupBy("doc_id", "n_chars", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_kind = counted.groupBy("doc_id", "n_chars", "kind").agg(
+        F.sum("cnt").alias("n_units"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars"),
+        # most frequent gram, ties broken gram-ASC: min_by over the
+        # orderable struct (-cnt, gram); value = its char coverage
+        F.expr("min_by(cnt * length(gram), struct(-cnt, gram))").alias("top_cov"),
+    )
+    safe_chars = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    agg_exprs = [
+        F.coalesce(
+            F.max(F.when(F.col("kind") == "line", F.col("n_units"))), F.lit(0)
+        ).alias("n_lines"),
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("kind") == "line",
+                        (F.col("n_units") - F.col("n_distinct"))
+                        / F.col("n_units").cast("double"),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("kind") == "line",
+                        F.least(F.col("dup_chars") / safe_chars, F.lit(1.0)),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in sorted(set(top_ns)):
+        agg_exprs.append(
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("kind") == f"g{n}",
+                            F.least(F.col("top_cov") / safe_chars, F.lit(1.0)),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias(f"top{n}_char_frac")
+        )
+    for n in sorted(set(dup_ns)):
+        agg_exprs.append(
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("kind") == f"g{n}",
+                            F.least(F.col("dup_chars") / safe_chars, F.lit(1.0)),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias(f"dup{n}_char_frac")
+        )
+    stats = per_kind.groupBy("doc_id", "n_chars").agg(*agg_exprs)
+    # docs with no units at all (empty/whitespace text) vanish in the
+    # explode — restore them with all-zero stats off the doc spine
+    spine = docs.select(F.col(id_col).alias("doc_id"), F.length(t).alias("n_chars"))
+    stat_cols = [c for c in stats.columns if c not in ("doc_id", "n_chars")]
+    return spine.join(stats, ["doc_id", "n_chars"], "left").select(
+        "doc_id",
+        "n_chars",
+        *[
+            F.coalesce(F.col(c), F.lit(0) if c == "n_lines" else F.lit(0.0)).alias(c)
+            for c in stat_cols
+        ],
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    join_on: str = "hash",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    `n`-gram with a benchmark/eval table (the GPT-3-style 13-gram /
+    training-data overlap check — public; n defaults to 8).
+
+    Returns (doc_id, n_hit_grams, n_grams, hit_frac) for contaminated
+    documents only: n_hit_grams = DISTINCT doc n-grams present in the
+    benchmark, n_grams = distinct n-grams in the doc, hit_frac their
+    ratio.
+
+    Shape at 100 TB: per-doc ``array_distinct`` BEFORE the explode (the
+    corpus side never carries repeat grams into the shuffle), benchmark
+    grams deduped then **broadcast** — the corpus never shuffles; the
+    only wide op is the final doc_id partial-count agg.  join_on='hash'
+    (default) joins on xxhash64(gram) — 8-byte keys instead of strings
+    on the wire; 'gram' joins raw strings (the oracle path — pinned
+    equal to the hash path by pytest; a collision needs ~2^32 distinct
+    benchmark grams by the birthday bound).
+    """
+    if join_on not in ("hash", "gram"):
+        raise ValueError("join_on must be 'hash' or 'gram'")
+    key = (lambda c: F.xxhash64(c)) if join_on == "hash" else (lambda c: c)
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    doc_side = dg.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    ).select("doc_id", "n_grams", key(F.col("gram")).alias("k"))
+    bench_side = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(bench_text_col), n))
+            ).alias("gram")
+        )
+        .select(key(F.col("gram")).alias("k"))
+        .distinct()
+    )
+    hits = doc_side.join(F.broadcast(bench_side), "k").groupBy(
+        "doc_id", "n_grams"
+    ).agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    return hits.select(
+        "doc_id",
+        "n_hit_grams",
+        "n_grams",
+        F.round(
+            F.col("n_hit_grams") / F.col("n_grams").cast("double"), 9
+        ).alias("hit_frac"),
+    )
