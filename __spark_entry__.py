@@ -1915,6 +1915,70 @@ FROM hits
 """
 
 
+def _q_entropy_stats(spark, sf_dir):
+    """T-family entropy/diversity quality signals
+    (textops.entropy_stats): char/token unigram Shannon entropy (nats),
+    distinct counts, type-token ratio — a ZERO-SHUFFLE narrow
+    projection (higher-order array functions, no explode, no Python).
+    Oracle recomputes both entropies from unnested symbol counts; the
+    1e-15 summation-order residue is absorbed by round 6."""
+    from gips_spark.operators import textops
+
+    docs = _read(spark, sf_dir, "documents").where("doc_id % 3 = 0")
+    return textops.entropy_stats(docs)
+
+
+_ENTROPY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+prep AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, '') END AS cs,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM base
+),
+ccnt AS (
+  SELECT doc_id, u, count(*) AS c
+  FROM (SELECT doc_id, unnest(cs) AS u FROM prep) GROUP BY doc_id, u
+),
+cagg AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd FROM ccnt GROUP BY doc_id
+),
+ch AS (
+  SELECT ccnt.doc_id,
+         -sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))) AS h
+  FROM ccnt JOIN cagg USING (doc_id) GROUP BY ccnt.doc_id
+),
+tcnt AS (
+  SELECT doc_id, u, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS u FROM prep) GROUP BY doc_id, u
+),
+tagg AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd FROM tcnt GROUP BY doc_id
+),
+th AS (
+  SELECT tcnt.doc_id,
+         -sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))) AS h
+  FROM tcnt JOIN tagg USING (doc_id) GROUP BY tcnt.doc_id
+)
+SELECT p.doc_id,
+       CAST(coalesce(ca.n, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(ta.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ca.nd, 0) AS BIGINT) AS char_distinct,
+       CAST(coalesce(ta.nd, 0) AS BIGINT) AS token_distinct,
+       round(coalesce(ch.h, 0.0), 6) + 0.0 AS char_entropy,
+       round(coalesce(th.h, 0.0), 6) + 0.0 AS token_entropy,
+       round(CASE WHEN coalesce(ta.n, 0) = 0 THEN 0.0
+                  ELSE ta.nd / CAST(ta.n AS DOUBLE) END, 6) AS token_ttr
+FROM prep p
+LEFT JOIN cagg ca USING (doc_id) LEFT JOIN ch USING (doc_id)
+LEFT JOIN tagg ta USING (doc_id) LEFT JOIN th USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -1985,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top3": _q_tfidf,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
+        "entropy_stats": _q_entropy_stats,
     }
 
 
@@ -2827,4 +2892,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top3": _TFIDF_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
+        "entropy_stats": _ENTROPY_ORACLE,
     }

@@ -327,3 +327,58 @@ def decontaminate(
             F.col("n_hit_grams") / F.col("n_grams").cast("double"), 9
         ).alias("hit_frac"),
     )
+
+
+def entropy_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document diversity/entropy quality signals (the entropy /
+    compression-ratio filter family used in corpus curation — public):
+    character- and token-unigram Shannon entropy (nats), distinct
+    counts, and the type-token ratio.
+
+    Shape at 100 TB: a ZERO-SHUFFLE narrow projection — entropies are
+    computed per row with higher-order array functions (aggregate over
+    array_distinct, filter-count against the full array), all JVM-side.
+    Per-row cost is O(distinct_symbols × len): bounded ~100×len for
+    real text (alphabet-sized char set, Zipfian token set is the worst
+    case — for adversarial million-distinct-token docs, prefer an
+    explode + (doc, token) count variant, same algebra as
+    repetition_stats).  Empty docs yield zero entropies, not NaN."""
+    t = text_col
+    # split('', '') yields [''] — guard empties so counts come out 0
+    prep = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.length(F.col(t)) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.col(t), "")).alias("_cs"),
+        F.when(
+            F.length(F.trim(F.col(t))) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(F.col(t)), r"\s+")).alias("_tk"),
+    )
+
+    def h(arr: str) -> str:
+        p = f"(size(filter({arr}, x -> x = c)) / cast(size({arr}) as double))"
+        return (
+            f"aggregate(array_distinct({arr}), cast(0.0 as double), "
+            f"(acc, c) -> acc - {p} * ln({p}))"
+        )
+
+    return prep.select(
+        "doc_id",
+        F.size("_cs").cast("long").alias("n_chars"),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_cs")).cast("long").alias("char_distinct"),
+        F.size(F.array_distinct("_tk")).cast("long").alias("token_distinct"),
+        # + 0.0 normalizes IEEE -0.0 (single-symbol docs: -1·ln(1)) so
+        # byte-level value hashes can't split on the zero sign
+        (F.round(F.expr(h("_cs")), 6) + F.lit(0.0)).alias("char_entropy"),
+        (F.round(F.expr(h("_tk")), 6) + F.lit(0.0)).alias("token_entropy"),
+        F.round(
+            F.when(F.size("_tk") == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct("_tk"))
+                / F.size("_tk").cast("double")
+            ),
+            6,
+        ).alias("token_ttr"),
+    )

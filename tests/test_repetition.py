@@ -145,3 +145,74 @@ def test_decontaminate_broadcasts_benchmark(spark):
     )
     assert "BroadcastExchange" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_entropy_stats_numpy_cross_check(spark):
+    """entropy_stats == scipy-free numpy/Counter recomputation on
+    adversarial docs (empty, whitespace-only, single-symbol, mixed)."""
+    from collections import Counter
+
+    docs = [
+        (1, "aab"),
+        (2, ""),
+        (3, "x y x y z"),
+        (4, "   "),
+        (5, "zzzzzz"),
+        (6, "the quick brown fox the quick"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.entropy_stats(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+
+    def H(xs):
+        if not xs:
+            return 0.0
+        c, n = Counter(xs), len(xs)
+        return -sum((v / n) * np.log(v / n) for v in c.values())
+
+    for i, t in docs:
+        cs = list(t)
+        tk = t.split() if t.strip() else []
+        r = out[i]
+        assert r["n_chars"] == len(cs) and r["n_tokens"] == len(tk)
+        assert r["char_distinct"] == len(set(cs))
+        assert r["token_distinct"] == len(set(tk))
+        assert r["char_entropy"] == pytest.approx(round(H(cs), 6) + 0.0, abs=2e-6)
+        assert r["token_entropy"] == pytest.approx(round(H(tk), 6) + 0.0, abs=2e-6)
+        want_ttr = len(set(tk)) / len(tk) if tk else 0.0
+        assert r["token_ttr"] == pytest.approx(round(want_ttr, 6), abs=1e-9)
+        # sign-normalized: never -0.0 on the wire
+        assert str(r["char_entropy"])[0] != "-" or r["char_entropy"] != 0.0
+
+
+def test_entropy_stats_is_zero_shuffle_pure_jvm(spark):
+    """Scale gate: a narrow projection — NO Exchange, no Python stage."""
+    docs = spark.createDataFrame([(1, "a b"), (2, "c")], "doc_id long, text string")
+    plan = textops.entropy_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_entropy_bounds_property(spark):
+    """0 <= H <= ln(distinct); TTR in [0,1]; uniform text maximizes."""
+    import math
+
+    docs = [(1, "a b c d"), (2, "a a a a"), (3, "q w e r t y u i")]
+    for r in textops.entropy_stats(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect():
+        # +5e-7: round-6 may push H up by half a rounding step
+        assert 0.0 <= r["token_entropy"] <= math.log(max(r["token_distinct"], 1)) + 5e-7
+        assert 0.0 <= r["char_entropy"] <= math.log(max(r["char_distinct"], 1)) + 5e-7
+        assert 0.0 <= r["token_ttr"] <= 1.0
+    got = {
+        r["doc_id"]: r
+        for r in textops.entropy_stats(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[1]["token_entropy"] == pytest.approx(np.log(4), abs=2e-6)
+    assert got[2]["token_entropy"] == 0.0
