@@ -258,6 +258,31 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
     )
     checks.append(("pagerank: pure JVM loop", "EvalPython" not in prp))
 
+    # r5: text-pipeline plan contracts (repetition / decontaminate /
+    # entropy) — the three newest T-ops each promise a specific shape
+    from gips_spark.operators import textops as tx_ops
+
+    tdocs = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            " ", F.lit("alpha beta"), F.col("doc_id").cast("string"), F.lit("alpha beta")
+        ).alias("text"),
+    )
+    rp = formatted(tx_ops.repetition_stats(tdocs))
+    sections["repetition_stats (tagged explode → (doc,kind,gram) counts)"] = rp
+    checks.append(("repetition: pure JVM (no Python stage)", "EvalPython" not in rp))
+    checks.append(("repetition: partial-count aggregate", "HashAggregate" in rp))
+    dc = formatted(tx_ops.decontaminate(tdocs, tdocs.limit(20), n=2))
+    sections["decontaminate (distinct grams → broadcast bench semi-join)"] = dc
+    checks.append(("decontam: benchmark side broadcast", "BroadcastExchange" in dc))
+    checks.append(
+        ("decontam: corpus never sort-merge-joins", "SortMergeJoin" not in dc)
+    )
+    ep = formatted(tx_ops.entropy_stats(tdocs))
+    sections["entropy_stats (zero-shuffle narrow projection)"] = ep
+    checks.append(("entropy: zero shuffle", "Exchange" not in ep))
+    checks.append(("entropy: pure JVM", "EvalPython" not in ep))
+
     directory.unpersist()
     enr.unpersist()
     return sections, checks
