@@ -1979,6 +1979,45 @@ LEFT JOIN tagg ta USING (doc_id) LEFT JOIN th USING (doc_id)
 """
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """T-family training-sequence packing (packing.pack_sequences —
+    GPT-style concatenate-and-chunk): docs laid out into 64-token packs
+    within 8 deterministic portable-hash buckets; a doc may straddle
+    packs (start pack + offset recorded).  One window cumsum per
+    bucket, pure JVM.  Oracle mirrors the prime-mix bucket hash and the
+    running sum verbatim."""
+    from gips_spark.operators import packing
+
+    docs = _read(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, pack_tokens=64, n_buckets=8, hash_method="portable"
+    )
+
+
+_PACK_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         ((doc_id % 1000003) * 2654435761 + 12345) % 999983 % 8 AS bucket
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(bucket AS BIGINT) AS bucket,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_tok
+  FROM d
+)
+SELECT doc_id, n_tokens, bucket, start_tok,
+       CAST(start_tok // 64 AS BIGINT) AS pack_seq,
+       CAST(start_tok % 64 AS BIGINT) AS offset_in_pack
+FROM w
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -2050,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "entropy_stats": _q_entropy_stats,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2893,4 +2933,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "entropy_stats": _ENTROPY_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
     }
