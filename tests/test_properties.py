@@ -297,3 +297,75 @@ def test_epoch_seconds_matches_python_datetime(spark, dts):
         dd = df.select(F.col("s").cast(flavor).alias("ts"))
         got = [r[0] for r in dd.select(_epoch_seconds(dd, "ts")).collect()]
         assert got == pytest.approx(want, abs=1e-6), flavor
+
+
+@SPARKED
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.sampled_from([16, 64, 256]),
+)
+def test_pack_sequences_conservation(spark, tok_counts, cap):
+    """Packing properties under hypothesis-generated token counts:
+    per bucket, start offsets are the exact prefix sums (conservation —
+    no token lost or double-counted), offset_in_pack < cap, and
+    pack_seq is consistent with start_tok."""
+    from gips_spark.operators import packing
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(tok_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = packing.pack_sequences(
+        df, pack_tokens=cap, n_buckets=4, hash_method="portable"
+    ).collect()
+    assert len(out) == len(rows)
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        assert 0 <= r["offset_in_pack"] < cap
+        assert r["pack_seq"] == r["start_tok"] // cap
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        want = 0
+        for r in rs:  # doc_id order == prefix-sum order
+            assert r["start_tok"] == want
+            want += r["n_tokens"]
+
+
+@SPARKED
+@given(st.lists(_ws_text, min_size=1, max_size=12))
+def test_repetition_fractions_bounded(spark, texts):
+    """All repetition fractions land in [0, 1] for arbitrary text."""
+    from gips_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in textops.repetition_stats(df).collect():
+        for c in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top2_char_frac",
+            "top3_char_frac",
+            "dup5_char_frac",
+        ):
+            assert 0.0 <= r[c] <= 1.0, (c, dict(r.asDict()))
+
+
+@SPARKED
+@given(st.lists(st.text(alphabet="ab cd", min_size=0, max_size=60), min_size=1, max_size=10))
+def test_decontaminate_self_benchmark_full_hit(spark, texts):
+    """Using the corpus itself as the benchmark, every doc with ≥1
+    5-gram must report hit_frac == 1 (its grams are all in the bench
+    set); with a disjoint-alphabet benchmark, no doc is flagged."""
+    from gips_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hits = textops.decontaminate(df, df, n=5).collect()
+    with_grams = {
+        i for i, t in enumerate(texts) if len(t.split()) >= 5
+    }
+    assert {r["doc_id"] for r in hits} == with_grams
+    for r in hits:
+        assert r["hit_frac"] == 1.0 and r["n_hit_grams"] == r["n_grams"]
+    clean = spark.createDataFrame([(0, "z y x w v u t s")], "doc_id long, text string")
+    assert textops.decontaminate(df, clean, n=5).count() == 0
