@@ -67,6 +67,9 @@ def main():
     stages = {
         "entropy": lambda: noop(textops.entropy_stats(docs)),
         "repetition": lambda: noop(textops.repetition_stats(docs)),
+        "repetition_local": lambda: noop(
+            textops.repetition_stats(docs, strategy="local")
+        ),
         "pack": lambda: noop(
             packing.pack_sequences(docs, pack_tokens=2048, n_buckets=256)
         ),

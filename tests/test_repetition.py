@@ -216,3 +216,33 @@ def test_entropy_bounds_property(spark):
     }
     assert got[1]["token_entropy"] == pytest.approx(np.log(4), abs=2e-6)
     assert got[2]["token_entropy"] == 0.0
+
+
+def test_repetition_local_strategy_bit_identical(spark):
+    """strategy='local' (zero-shuffle HOF path) must reproduce the
+    explode strategy bit-for-bit — integer dup arithmetic makes fold
+    order immaterial, and the (cnt DESC, gram ASC) top tie-break is the
+    same."""
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ff f"]
+    docs = [(99990, ""), (99991, "  \n \n ")]
+    for i in range(150):
+        n = int(rng.integers(0, 35))
+        words = [vocab[int(k)] for k in rng.integers(0, len(vocab), n)]
+        text = " ".join(words)
+        if n > 6:
+            text = text.replace(" dd ", "\n", 3)
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(tuple(r) for r in textops.repetition_stats(df).collect())
+    b = sorted(
+        tuple(r) for r in textops.repetition_stats(df, strategy="local").collect()
+    )
+    assert a == b
+    plan = (
+        textops.repetition_stats(df, strategy="local")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    with pytest.raises(ValueError):
+        textops.repetition_stats(df, strategy="bogus")
