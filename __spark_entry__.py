@@ -2018,6 +2018,64 @@ FROM w
 """
 
 
+def _q_pack_nextfit(spark, sf_dir):
+    """T-family no-straddle next-fit packing
+    (packing.pack_sequences_nextfit — Arrow applyInPandas per bucket,
+    intrinsically a sequential scan).  Oracle replays the exact greedy
+    state machine as a DuckDB RECURSIVE CTE over row_number-ordered
+    rows per bucket (state = (current pack, used tokens))."""
+    from gips_spark.operators import packing
+
+    docs = _read(spark, sf_dir, "documents")
+    out = packing.pack_sequences_nextfit(
+        docs, pack_tokens=64, n_buckets=8, hash_method="portable"
+    )
+    return out.select(
+        "doc_id", "n_tokens", "bucket", "pack_seq", "offset_in_pack", "oversize"
+    )
+
+
+_PACK_NEXTFIT_ORACLE = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(((doc_id % 1000003) * 2654435761 + 12345) % 999983 % 8 AS BIGINT) AS bucket
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d
+),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_seq,
+         CAST(0 AS BIGINT) AS offset_in_pack,
+         n_tokens > 64 AS oversize,
+         CAST(CASE WHEN n_tokens > 64 THEN 1 ELSE 0 END AS BIGINT) AS cur_after,
+         CAST(CASE WHEN n_tokens > 64 THEN 0 ELSE n_tokens END AS BIGINT) AS used_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN r.n_tokens > 64
+              THEN w.cur_after + (CASE WHEN w.used_after > 0 THEN 1 ELSE 0 END)
+              WHEN w.used_after + r.n_tokens > 64 THEN w.cur_after + 1
+              ELSE w.cur_after END AS pack_seq,
+         CASE WHEN r.n_tokens > 64 OR w.used_after + r.n_tokens > 64
+              THEN 0 ELSE w.used_after END AS offset_in_pack,
+         r.n_tokens > 64 AS oversize,
+         CASE WHEN r.n_tokens > 64
+              THEN w.cur_after + (CASE WHEN w.used_after > 0 THEN 1 ELSE 0 END) + 1
+              WHEN w.used_after + r.n_tokens > 64 THEN w.cur_after + 1
+              ELSE w.cur_after END AS cur_after,
+         CASE WHEN r.n_tokens > 64 THEN 0
+              WHEN w.used_after + r.n_tokens > 64 THEN r.n_tokens
+              ELSE w.used_after + r.n_tokens END AS used_after
+  FROM walk w JOIN r ON r.bucket = w.bucket AND r.rn = w.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, pack_seq, offset_in_pack, oversize FROM walk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -2090,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "entropy_stats": _q_entropy_stats,
         "pack_sequences": _q_pack_sequences,
+        "pack_nextfit": _q_pack_nextfit,
     }
 
 
@@ -2934,4 +2993,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_ORACLE,
         "entropy_stats": _ENTROPY_ORACLE,
         "pack_sequences": _PACK_ORACLE,
+        "pack_nextfit": _PACK_NEXTFIT_ORACLE,
     }
