@@ -2076,6 +2076,56 @@ SELECT doc_id, n_tokens, bucket, pack_seq, offset_in_pack, oversize FROM walk
 """
 
 
+def _q_geo_cells(spark, sf_dir):
+    """The graft's two axes composed end-to-end: webtext geocoding (all
+    six tiers, JVM kernel) → S2 level-13 spatial index → per-cell
+    rollup (doc count + distinct geocode tiers).  Oracle stitches the
+    straight-line geocoder SQL into the full Hilbert-curve S2 SQL
+    (functions/s2_sql.py) — every stage independently recomputed."""
+    from gips_spark.functions import udfs
+
+    docs = _read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(_DOC_URL_EXPR).alias("url"),
+        F.expr(_DOC_TEXT_EXPR).alias("txt"),
+    )
+    lat, lon, src = udfs.geocode_exprs(F.col("url"), F.col("txt"))
+    g = d.select(
+        "doc_id",
+        src.alias("geocode_src"),
+        F.round(lat, 4).alias("lat"),
+        F.round(lon, 4).alias("lon"),
+    ).where("geocode_src <> 'none'")
+    return (
+        g.select(udfs.s2_cell(F.col("lat"), F.col("lon")).alias("s2_13"), "geocode_src")
+        .groupBy("s2_13")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("geocode_src").alias("n_src_tiers"),
+        )
+    )
+
+
+def _geo_cells_oracle() -> str:
+    from gips_spark.functions import s2_sql
+
+    geo = _geocode_docs_oracle()
+    pts_body = (
+        "pts AS (SELECT doc_id AS event_id, lat, lon FROM ("
+        + geo
+        + ") WHERE geocode_src <> 'none')"
+    )
+    inner = s2_sql.cell_id_sql(pts_body, level=13, id_alias="s2_13")
+    return (
+        "WITH cells AS (" + inner + "),\n"
+        "g AS (SELECT doc_id, geocode_src FROM (" + geo + ") WHERE geocode_src <> 'none')\n"
+        "SELECT s2_13, count(*) AS n_docs,\n"
+        "       count(DISTINCT geocode_src) AS n_src_tiers\n"
+        "FROM cells JOIN g ON g.doc_id = cells.event_id GROUP BY 1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -2149,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_stats": _q_entropy_stats,
         "pack_sequences": _q_pack_sequences,
         "pack_nextfit": _q_pack_nextfit,
+        "geo_cells": _q_geo_cells,
     }
 
 
@@ -2994,4 +3045,5 @@ def oracle_sql() -> dict[str, str]:
         "entropy_stats": _ENTROPY_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "pack_nextfit": _PACK_NEXTFIT_ORACLE,
+        "geo_cells": _geo_cells_oracle(),
     }
