@@ -1792,24 +1792,24 @@ WITH base AS (
 ),
 tk AS (
   SELECT doc_id, text, length(text) AS n_chars,
-         regexp_split_to_array(trim(text), '\s+') AS toks,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
          list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lns
   FROM base
 ),
 units AS (
   SELECT doc_id, n_chars, 'line' AS kind, unnest(lns) AS gram FROM tk
   UNION ALL
-  SELECT doc_id, n_chars, 'g2', unnest(CASE WHEN length(trim(text)) = 0 OR len(toks) < 2
+  SELECT doc_id, n_chars, 'g2', unnest(CASE WHEN len(toks) < 2
     THEN CAST([] AS VARCHAR[])
     ELSE list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i+1), ' ')) END)
   FROM tk
   UNION ALL
-  SELECT doc_id, n_chars, 'g3', unnest(CASE WHEN length(trim(text)) = 0 OR len(toks) < 3
+  SELECT doc_id, n_chars, 'g3', unnest(CASE WHEN len(toks) < 3
     THEN CAST([] AS VARCHAR[])
     ELSE list_transform(range(1, len(toks)-1), i -> array_to_string(list_slice(toks, i, i+2), ' ')) END)
   FROM tk
   UNION ALL
-  SELECT doc_id, n_chars, 'g5', unnest(CASE WHEN length(trim(text)) = 0 OR len(toks) < 5
+  SELECT doc_id, n_chars, 'g5', unnest(CASE WHEN len(toks) < 5
     THEN CAST([] AS VARCHAR[])
     ELSE list_transform(range(1, len(toks)-3), i -> array_to_string(list_slice(toks, i, i+4), ' ')) END)
   FROM tk
@@ -1869,7 +1869,8 @@ def _q_decontaminate(spark, sf_dir):
         .where("doc_id % 11 = 0")
         .select(
             F.expr(
-                "array_join(slice(split(trim(text), '\\\\s+'), 1, 24), ' ')"
+                "array_join(slice(filter(split(text, '\\\\s+'), x -> x != ''),"
+                " 1, 24), ' ')"
             ).alias("text")
         )
     )
@@ -1884,21 +1885,21 @@ def _q_decontaminate(spark, sf_dir):
 
 _DECONTAMINATE_ORACLE = r"""
 WITH bsrc AS (
-  SELECT array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 24), ' ') AS text
+  SELECT array_to_string(list_slice(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), 1, 24), ' ') AS text
   FROM documents WHERE doc_id % 11 = 0
 ),
-btk AS (SELECT trim(text) AS t, regexp_split_to_array(trim(text), '\s+') AS tk FROM bsrc),
+btk AS (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk FROM bsrc),
 bg AS (
-  SELECT DISTINCT unnest(CASE WHEN length(t) = 0 OR len(tk) < 8 THEN CAST([] AS VARCHAR[])
+  SELECT DISTINCT unnest(CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
     ELSE list_transform(range(1, len(tk)-6), i -> array_to_string(list_slice(tk, i, i+7), ' ')) END) AS gram
   FROM btk
 ),
 ctk AS (
-  SELECT doc_id, trim(text) AS t, regexp_split_to_array(trim(text), '\s+') AS tk
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
   FROM documents WHERE doc_id % 2 = 0
 ),
 cg AS (
-  SELECT doc_id, list_distinct(CASE WHEN length(t) = 0 OR len(tk) < 8 THEN CAST([] AS VARCHAR[])
+  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
     ELSE list_transform(range(1, len(tk)-6), i -> array_to_string(list_slice(tk, i, i+7), ' ')) END) AS gl
   FROM ctk
 ),
@@ -1936,8 +1937,7 @@ prep AS (
   SELECT doc_id,
          CASE WHEN length(text) = 0 THEN CAST([] AS VARCHAR[])
               ELSE string_split(text, '') END AS cs,
-         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
   FROM base
 ),
 ccnt AS (
@@ -1997,8 +1997,7 @@ def _q_pack_sequences(spark, sf_dir):
 _PACK_ORACLE = r"""
 WITH d AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
          ((doc_id % 1000003) * 2654435761 + 12345) % 999983 % 8 AS bucket
   FROM documents
 ),
@@ -2038,8 +2037,7 @@ def _q_pack_nextfit(spark, sf_dir):
 _PACK_NEXTFIT_ORACLE = r"""
 WITH RECURSIVE d AS (
   SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
          CAST(((doc_id % 1000003) * 2654435761 + 12345) % 999983 % 8 AS BIGINT) AS bucket
   FROM documents
 ),

@@ -40,12 +40,11 @@ def _with_tokens(
     if tokens_col is not None:
         tok = F.col(tokens_col).cast("long")
     else:
-        t = F.col(text_col)
-        tok = (
-            F.when(F.length(F.trim(t)) == 0, F.lit(0))
-            .otherwise(F.size(F.split(F.trim(t), r"\s+")))
-            .cast("long")
-        )
+        from gips_spark.operators.textops import ws_tokens
+
+        # ws_tokens drops phantom '' tokens from tab/newline-led text
+        # (code-review r5) and treats NULL as empty
+        tok = F.size(ws_tokens(F.col(text_col))).cast("long")
     return docs.select(F.col(id_col).alias("doc_id"), tok.alias("n_tokens"))
 
 
@@ -76,7 +75,10 @@ def pack_sequences(
         "n_tokens",
         F.col("bucket").cast("long").alias("bucket"),
         "start_tok",
-        (F.col("start_tok") / F.lit(pack_tokens)).cast("long").alias("pack_seq"),
+        # `div` = exact int64 division: the double-division form loses
+        # exactness once a bucket's token stream passes 2^53
+        # (code-review r5) — real at 100 TB with small n_buckets
+        F.expr(f"start_tok div {int(pack_tokens)}").alias("pack_seq"),
         (F.col("start_tok") % F.lit(pack_tokens)).cast("long").alias("offset_in_pack"),
     )
 

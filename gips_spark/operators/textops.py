@@ -115,18 +115,30 @@ def tfidf_top_terms(
     )
 
 
+def ws_tokens(text_col):
+    """Whitespace tokens of a text Column, with NO phantom empties:
+    ``filter(split(t, '\\s+'), x -> x != '')`` — unlike split(trim(t)),
+    this also drops the empty string a LEADING tab/newline leaves
+    behind (Spark `trim` strips only ASCII space, so '\\t a' kept its
+    tab and split yielded a phantom '' token — code-review r5, verified
+    live).  NULL text → empty array.  DuckDB mirror:
+    ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')``."""
+    return F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), r"\s+"), lambda x: x != ""
+    )
+
+
 def word_ngrams(text_col, n: int):
-    """array<string> of word `n`-grams of a text Column (whitespace
-    tokens, single-space joined).  Pure JVM (split / sequence /
+    """array<string> of word `n`-grams of a text Column (ws_tokens,
+    single-space joined).  Pure JVM (split / filter / sequence /
     transform / slice / concat_ws) — no Python, codegen-friendly;
     mirrored verbatim by the DuckDB oracles via list_transform +
-    list_slice.  Empty/short texts yield an empty array."""
-    toks = F.split(F.trim(text_col), r"\s+")
-    # guard BOTH empty text and < n tokens: sequence(1, 0) would DESCEND
-    # ([1, 0]) and slice(_, 0, _) errors under ANSI mode
+    list_slice.  Empty/short/NULL texts yield an empty array."""
+    toks = ws_tokens(text_col)
+    # guard < n tokens: sequence(1, 0) would DESCEND ([1, 0]) and
+    # slice(_, 0, _) errors under ANSI mode
     return F.when(
-        (F.length(F.trim(text_col)) == 0) | (F.size(toks) < n),
-        F.array().cast("array<string>"),
+        F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
@@ -179,7 +191,9 @@ def repetition_stats(
         return _repetition_stats_local(docs, id_col, text_col, top_ns, dup_ns)
     if strategy != "explode":
         raise ValueError("strategy must be 'explode' or 'local'")
-    t = F.col(text_col)
+    # NULL text ≡ empty text in both strategies (code-review r5: the
+    # local path's least(NULL, 1.0) used to score null docs 1.0)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     units = [
         F.transform(
             F.filter(F.split(t, "\n"), lambda x: F.trim(x) != ""),
@@ -296,12 +310,14 @@ def _repetition_stats_local(
 ) -> DataFrame:
     """Zero-shuffle strategy for repetition_stats (see its docstring).
 
-    Per kind array A:  cnt(g) = size(filter(A, x -> x = g)) over
-    g ∈ array_distinct(A); dup_chars folds cnt(g)·len(g) for cnt ≥ 2;
-    the top gram is array_min over the grams achieving the max count
-    (same (cnt DESC, gram ASC) tie-break as the explode strategy's
-    min_by).  All integer arithmetic → fold order is immaterial."""
-    t = F.col(text_col)
+    One O(distinct × units) pass per kind builds a (gram, cnt) struct
+    array; every statistic is then an O(distinct) fold over it
+    (code-review r5: the first cut recomputed the filter-count 4×).
+    dup_chars folds cnt·len for cnt ≥ 2; the top gram is array_min over
+    the grams achieving the max count (same (cnt DESC, gram ASC)
+    tie-break as the explode strategy's min_by).  All integer
+    arithmetic → fold order is immaterial."""
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL ≡ empty, both paths
     arrays = {"line": F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")}
     for n in sorted(set(top_ns) | set(dup_ns)):
         arrays[f"g{n}"] = word_ngrams(t, n)
@@ -310,43 +326,47 @@ def _repetition_stats_local(
         F.length(t).alias("n_chars"),
         *[a.alias(f"_a_{k}") for k, a in arrays.items()],
     )
-
-    def cnt(A, g="g"):
-        return f"size(filter({A}, x -> x = {g}))"
-
+    # the single expensive pass: (gram, cnt) pairs per kind
+    d1 = d.select(
+        "doc_id",
+        "n_chars",
+        *[F.col(f"_a_{k}").alias(f"_a_{k}") for k in arrays],
+        *[
+            F.expr(
+                f"transform(array_distinct(_a_{k}), g -> named_struct("
+                f"'g', g, 'c', size(filter(_a_{k}, x -> x = g))))"
+            ).alias(f"_c_{k}")
+            for k in arrays
+        ],
+    )
     stat_cols = []
     for k in arrays:
-        A = f"_a_{k}"
-        stat_cols.append(F.size(A).cast("long").alias(f"_nu_{k}"))
-        stat_cols.append(F.size(F.array_distinct(A)).cast("long").alias(f"_nd_{k}"))
+        C = f"_c_{k}"
+        stat_cols.append(F.size(f"_a_{k}").cast("long").alias(f"_nu_{k}"))
+        stat_cols.append(F.size(C).cast("long").alias(f"_nd_{k}"))
         stat_cols.append(
             F.expr(
-                f"aggregate(array_distinct({A}), cast(0 as bigint), (acc, g) -> "
-                f"acc + (case when {cnt(A)} >= 2 "
-                f"then cast({cnt(A)} as bigint) * length(g) else cast(0 as bigint) end))"
+                f"aggregate({C}, cast(0 as bigint), (acc, s) -> "
+                f"acc + (case when s.c >= 2 "
+                f"then cast(s.c as bigint) * length(s.g) else cast(0 as bigint) end))"
             ).alias(f"_dup_{k}")
         )
         if k != "line":
             stat_cols.append(
-                F.expr(
-                    f"aggregate(array_distinct({A}), 0, (acc, g) -> "
-                    f"greatest(acc, {cnt(A)}))"
-                ).alias(f"_mc_{k}")
+                F.expr(f"aggregate({C}, 0, (acc, s) -> greatest(acc, s.c))").alias(
+                    f"_mc_{k}"
+                )
             )
-    d2 = d.select("doc_id", "n_chars", *[c for c in d.columns if c.startswith("_a_")])
-    d2 = d2.select("doc_id", "n_chars", *d2.columns[2:], *stat_cols)
-    # top coverage needs the max count column, so a second pass
-    top_cols = []
-    for k in arrays:
-        if k == "line":
-            continue
-        A = f"_a_{k}"
-        top_cols.append(
-            F.expr(
-                f"cast(_mc_{k} as bigint) * length(array_min("
-                f"filter(array_distinct({A}), g -> {cnt(A)} = _mc_{k})))"
-            ).alias(f"_top_{k}")
-        )
+    d2 = d1.select("doc_id", "n_chars", *[f"_c_{k}" for k in arrays], *stat_cols)
+    # top coverage: O(distinct) scan of the pair array against max count
+    top_cols = [
+        F.expr(
+            f"cast(_mc_{k} as bigint) * length(array_min("
+            f"transform(filter(_c_{k}, s -> s.c = _mc_{k}), s -> s.g)))"
+        ).alias(f"_top_{k}")
+        for k in arrays
+        if k != "line"
+    ]
     d3 = d2.select("*", *top_cols)
     safe = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     out = [
@@ -457,16 +477,16 @@ def entropy_stats(
     case — for adversarial million-distinct-token docs, prefer an
     explode + (doc, token) count variant, same algebra as
     repetition_stats).  Empty docs yield zero entropies, not NaN."""
-    t = text_col
-    # split('', '') yields [''] — guard empties so counts come out 0
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # split('', '') yields [''] — guard empties so counts come out 0;
+    # tokens via ws_tokens (drops the phantom '' a leading tab/newline
+    # leaves behind — code-review r5)
     prep = docs.select(
         F.col(id_col).alias("doc_id"),
         F.when(
-            F.length(F.col(t)) == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(F.col(t), "")).alias("_cs"),
-        F.when(
-            F.length(F.trim(F.col(t))) == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(F.trim(F.col(t)), r"\s+")).alias("_tk"),
+            F.length(t) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(t, "")).alias("_cs"),
+        ws_tokens(t).alias("_tk"),
     )
 
     def h(arr: str) -> str:

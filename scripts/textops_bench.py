@@ -56,9 +56,9 @@ def main():
     from gips_spark.operators import dedup, packing, textops
 
     bench_table = docs.where("doc_id % 199 = 0").select(
-        F.expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 12), ' ')").alias(
-            "text"
-        )
+        F.expr(
+            "array_join(slice(filter(split(text, '\\\\s+'), x -> x != ''), 1, 12), ' ')"
+        ).alias("text")
     )
 
     def noop(df):
@@ -77,10 +77,16 @@ def main():
         "exact_dedup": lambda: noop(dedup.exact_dedup(docs, "doc_id", "text")),
     }
 
-    # warmup: spawn workers + JIT every plan shape on a small slice
+    # warmup: spawn workers + JIT EVERY stage's plan shape on a small
+    # slice (code-review r5: unwarmed stages carried first-run JIT skew)
     small = docs.limit(50_000)
+    small_bench = bench_table.limit(200)
     noop(textops.entropy_stats(small))
     noop(textops.repetition_stats(small))
+    noop(textops.repetition_stats(small, strategy="local"))
+    noop(packing.pack_sequences(small, pack_tokens=2048, n_buckets=256))
+    noop(textops.decontaminate(small, small_bench, n=8))
+    noop(dedup.exact_dedup(small, "doc_id", "text"))
 
     out = {"n_docs": N_DOCS, "trials": {}, "flanks": {}, "best": {}, "rows_per_sec": {}}
     for name, fn in stages.items():

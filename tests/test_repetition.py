@@ -159,6 +159,8 @@ def test_entropy_stats_numpy_cross_check(spark):
         (4, "   "),
         (5, "zzzzzz"),
         (6, "the quick brown fox the quick"),
+        (7, "\n\n"),
+        (8, "\ta b"),
     ]
     out = {
         r["doc_id"]: r
@@ -225,7 +227,7 @@ def test_repetition_local_strategy_bit_identical(spark):
     same."""
     rng = np.random.default_rng(17)
     vocab = ["aa", "b", "ccc", "dd", "e", "ff f"]
-    docs = [(99990, ""), (99991, "  \n \n ")]
+    docs = [(99990, ""), (99991, "  \n \n "), (99992, None), (99993, "\tx y x y")]
     for i in range(150):
         n = int(rng.integers(0, 35))
         words = [vocab[int(k)] for k in rng.integers(0, len(vocab), n)]
