@@ -2124,6 +2124,33 @@ def _geo_cells_oracle() -> str:
     )
 
 
+def _q_group_quota(spark, sf_dir):
+    """T-family per-group quota capping (sampling.group_quota): at most
+    12 docs per `source`, chosen by the deterministic portable-hash
+    shuffle order — the domain-cap pass of a corpus pipeline.  Oracle
+    replays the same (prime-mix bucket, doc_id) row_number in SQL."""
+    from gips_spark.operators import sampling
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.group_quota(
+        docs, "source", 12, id_col="doc_id", method="portable"
+    )
+    return out.select("doc_id", "source", F.col("qrank").cast("long").alias("qrank"))
+
+
+_GROUP_QUOTA_ORACLE = r"""
+SELECT doc_id, source, qrank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 1000003) * 2654435761 + 12345) % 999983 % 1048576 ASC,
+                    doc_id ASC
+         ) AS BIGINT) AS qrank
+  FROM documents
+) WHERE qrank <= 12
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_polygon": _q_pip_polygon,
@@ -2198,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_nextfit": _q_pack_nextfit,
         "geo_cells": _q_geo_cells,
+        "group_quota": _q_group_quota,
     }
 
 
@@ -3044,4 +3072,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_ORACLE,
         "pack_nextfit": _PACK_NEXTFIT_ORACLE,
         "geo_cells": _geo_cells_oracle(),
+        "group_quota": _GROUP_QUOTA_ORACLE,
     }

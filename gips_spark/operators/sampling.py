@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 #: portable-hash constants (Knuth multiplicative + two prime moduli)
 _P_PRE = 1_000_003
@@ -115,3 +116,35 @@ def stratified_sample(
         ]
     )
     return df.where(b < F.coalesce(thr[F.col(strata_col)], F.lit(0)))
+
+
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    method: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """Cap rows per group at `quota`, keeping a DETERMINISTIC
+    pseudo-random subset (the per-domain / per-source quota pass a
+    corpus pipeline runs before training-set assembly).
+
+    Selection order inside a group is (hash_bucket(id, 2^20), id) — a
+    deterministic shuffle independent of input layout, so re-runs and
+    repartitionings keep the same rows; plain `id` order would bias
+    toward early ids.  One shuffle (window partitionBy group); at
+    100 TB a mega-domain concentrates its rows in one partition only
+    for the duration of the top-`quota` selection — for extreme skew
+    pre-aggregate with a bucketed two-level top-k (same pattern as
+    relational.heavy_hitters).
+
+    Returns the surviving rows plus their ``qrank`` (1-based)."""
+    w = W.partitionBy(group_col).orderBy(
+        hash_bucket(id_col, 1 << 20, method=method, seed=seed).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("qrank", F.row_number().over(w))
+        .where(F.col("qrank") <= quota)
+    )

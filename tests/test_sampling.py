@@ -94,3 +94,27 @@ def test_sampling_plans_zero_shuffle(spark, docs):
             df.explain("formatted")
         plan = buf.getvalue()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_group_quota_determinism_and_cap(spark):
+    """group_quota: per-group cap enforced, layout-independent row SET,
+    qrank contiguous from 1, xxhash64 and portable paths both valid."""
+    from gips_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(500)], "doc_id long, source string"
+    )
+    for method in ("portable", "xxhash64"):
+        out = sampling.group_quota(df, "source", 9, method=method).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["source"], []).append(r["qrank"])
+        assert len(by_g) == 7
+        for g, rks in by_g.items():
+            assert sorted(rks) == list(range(1, 10))
+        again = sampling.group_quota(
+            df.repartition(13, "doc_id"), "source", 9, method=method
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # quota larger than group: everything survives
+    assert sampling.group_quota(df, "source", 1000).count() == 500
