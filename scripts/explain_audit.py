@@ -283,6 +283,25 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
     checks.append(("entropy: zero shuffle", "Exchange" not in ep))
     checks.append(("entropy: pure JVM", "EvalPython" not in ep))
 
+    # r5: packing + quota — one hash shuffle each, pure JVM
+    from gips_spark.operators import packing as pk_ops
+    from gips_spark.operators import sampling as sq_ops
+
+    pkp = formatted(pk_ops.pack_sequences(tdocs, pack_tokens=64, n_buckets=8))
+    sections["pack_sequences (bucket window cumsum)"] = pkp
+    # formatted-mode explain puts "Exchange" (tree) and
+    # "hashpartitioning(bucket…)" (Arguments:) on separate lines —
+    # count the Exchange NODES (the strict ==1 executedPlan form is
+    # pinned in tests/test_packing.py)
+    checks.append(
+        ("pack: single exchange, on bucket",
+         pkp.count(") Exchange") == 1 and "hashpartitioning(bucket" in pkp)
+    )
+    checks.append(("pack: pure JVM", "EvalPython" not in pkp))
+    gqp = formatted(sq_ops.group_quota(tdocs, "text", 3, id_col="doc_id"))
+    sections["group_quota (per-group deterministic top-quota)"] = gqp
+    checks.append(("quota: pure JVM window", "EvalPython" not in gqp))
+
     directory.unpersist()
     enr.unpersist()
     return sections, checks
