@@ -136,6 +136,11 @@ TEXT_COORD_PATTERN = r"(-?\d{1,2}\.\d{4}),\s(-?\d{1,3}\.\d{4})"
 CCTLD_PATTERN = r"^https?://[^/?#]+\.([a-z]{2})(?:[/?#]|$)"
 _URL_CITY_RE = re.compile(URL_CITY_PATTERN)
 _TEXT_CITY_RE = re.compile(TEXT_CITY_PATTERN, re.IGNORECASE)
+#: r6: the geocoder lowers the text before matching, so the IGNORECASE
+#: flag was redundant there — and it disables re's literal-prefix scan
+#: (measured 3.6× slower).  Kept separate so _TEXT_CITY_RE still serves
+#: any raw-text call sites.
+_TEXT_CITY_CS_RE = re.compile(TEXT_CITY_PATTERN)
 _QS_LATLON_RE = re.compile(QS_LATLON_PATTERN)
 _TEXT_COORD_RE = re.compile(TEXT_COORD_PATTERN)
 _CCTLD_RE = re.compile(CCTLD_PATTERN)
@@ -206,63 +211,88 @@ def geocode(url: pd.Series, text: pd.Series) -> pd.DataFrame:
 
     Deterministic, vectorized (pandas .str.extract — C regex), rules
     applied in fixed priority; unresolved rows get (nan, nan, 'none').
+
+    r6 shape (same rule table, same outputs — pinned by the frozen
+    `geocoded` golden hash and the cross-path equality tests): rules
+    run HIGHEST priority first, each on the still-unresolved slice
+    only, instead of lowest-first full-series passes with overwrite.
+    A row that matches a higher rule never pays the lower rules'
+    regexes (the 48-slug city alternation was 62% of the kernel), and
+    the two coordinate rules get a C-substring prefilter on a literal
+    their regex requires ("lat=" / ", ").  A match with out-of-range
+    coordinates stays UNRESOLVED and falls through to lower rules —
+    exactly the old overwrite semantics.
     """
-    url = url.astype("string").fillna("")
-    text = text.astype("string").fillna("")
+    url = url.astype("string").fillna("").reset_index(drop=True)
+    text = text.astype("string").fillna("").reset_index(drop=True)
     n = len(url)
     lat = np.full(n, np.nan)
     lon = np.full(n, np.nan)
     src = np.full(n, "none", dtype=object)
+    todo = np.ones(n, dtype=bool)
 
-    # rule 5 (lowest priority first; later rules overwrite): ccTLD →
-    # country centroid (round-4 tier; SURVEY §7.2 item 7)
-    m = url.str.extract(_CCTLD_RE, expand=False)
-    hit = (m.notna() & m.isin(_CC_LAT.keys())).to_numpy()
-    if hit.any():
-        lat[hit] = m[hit].map(_CC_LAT).to_numpy(dtype=float)
-        lon[hit] = m[hit].map(_CC_LON).to_numpy(dtype=float)
-        src[hit] = "cctld"
+    def _coords_rule(series, pre_lit, rx, label):
+        pre = todo & series.str.contains(pre_lit, regex=False).to_numpy(dtype=bool)
+        idx = np.flatnonzero(pre)
+        if idx.size == 0:
+            return
+        mm = series.iloc[idx].str.extract(rx)
+        hit = mm[0].notna().to_numpy()
+        if not hit.any():
+            return
+        la = mm[0][hit].astype(float).to_numpy()
+        lo = mm[1][hit].astype(float).to_numpy()
+        ok = (np.abs(la) <= 90.0) & (np.abs(lo) <= 180.0)
+        tgt = idx[hit][ok]
+        lat[tgt] = la[ok]
+        lon[tgt] = lo[ok]
+        src[tgt] = label
+        todo[tgt] = False
 
-    # rule 4: city slug in the text body
-    m = text.str.lower().str.extract(_TEXT_CITY_RE, expand=False)
-    hit = m.notna().to_numpy()
-    if hit.any():
-        slugs = m[hit].str.replace(" ", "-", regex=False)
-        lat[hit] = slugs.map(_CITY_LAT).to_numpy(dtype=float)
-        lon[hit] = slugs.map(_CITY_LON).to_numpy(dtype=float)
-        src[hit] = "city_text"
+    # rule 1 (highest): lat/lon query-string params — the regex needs
+    # the literal "lat=".
+    _coords_rule(url, "lat=", _QS_LATLON_RE, "latlon_qs")
+    # rule 2: coordinate phrase in text — the regex needs ", ".
+    _coords_rule(text, ", ", _TEXT_COORD_RE, "coord_text")
 
     # rule 3: url path city slug
-    m = url.str.extract(_URL_CITY_RE, expand=False)
-    hit = m.notna().to_numpy()
-    if hit.any():
-        lat[hit] = m[hit].map(_CITY_LAT).to_numpy(dtype=float)
-        lon[hit] = m[hit].map(_CITY_LON).to_numpy(dtype=float)
-        src[hit] = "city_url"
+    idx = np.flatnonzero(todo)
+    if idx.size:
+        m = url.iloc[idx].str.extract(_URL_CITY_RE, expand=False)
+        hit = m.notna().to_numpy()
+        if hit.any():
+            tgt = idx[hit]
+            lat[tgt] = m[hit].map(_CITY_LAT).to_numpy(dtype=float)
+            lon[tgt] = m[hit].map(_CITY_LON).to_numpy(dtype=float)
+            src[tgt] = "city_url"
+            todo[tgt] = False
 
-    # rule 2: coordinate phrase in text
-    mm = text.str.extract(_TEXT_COORD_RE)
-    hit = mm[0].notna().to_numpy()
-    if hit.any():
-        la = mm[0][hit].astype(float).to_numpy()
-        lo = mm[1][hit].astype(float).to_numpy()
-        ok = (np.abs(la) <= 90.0) & (np.abs(lo) <= 180.0)
-        idx = np.flatnonzero(hit)[ok]
-        lat[idx] = la[ok]
-        lon[idx] = lo[ok]
-        src[idx] = "coord_text"
+    # rule 4: city slug in the text body.  The pattern is compiled
+    # CASE-SENSITIVE and run on the lowered slice: identical matches
+    # (the old IGNORECASE flag on already-lowered text was redundant
+    # but disabled re's literal-prefix optimizations — measured 3.6×).
+    idx = np.flatnonzero(todo)
+    if idx.size:
+        m = text.iloc[idx].str.lower().str.extract(_TEXT_CITY_CS_RE, expand=False)
+        hit = m.notna().to_numpy()
+        if hit.any():
+            slugs = m[hit].str.replace(" ", "-", regex=False)
+            tgt = idx[hit]
+            lat[tgt] = slugs.map(_CITY_LAT).to_numpy(dtype=float)
+            lon[tgt] = slugs.map(_CITY_LON).to_numpy(dtype=float)
+            src[tgt] = "city_text"
+            todo[tgt] = False
 
-    # rule 1: lat/lon query-string params (highest priority)
-    mm = url.str.extract(_QS_LATLON_RE)
-    hit = mm[0].notna().to_numpy()
-    if hit.any():
-        la = mm[0][hit].astype(float).to_numpy()
-        lo = mm[1][hit].astype(float).to_numpy()
-        ok = (np.abs(la) <= 90.0) & (np.abs(lo) <= 180.0)
-        idx = np.flatnonzero(hit)[ok]
-        lat[idx] = la[ok]
-        lon[idx] = lo[ok]
-        src[idx] = "latlon_qs"
+    # rule 5 (lowest): ccTLD → country centroid
+    idx = np.flatnonzero(todo)
+    if idx.size:
+        m = url.iloc[idx].str.extract(_CCTLD_RE, expand=False)
+        hit = (m.notna() & m.isin(_CC_LAT.keys())).to_numpy()
+        if hit.any():
+            tgt = idx[hit]
+            lat[tgt] = m[hit].map(_CC_LAT).to_numpy(dtype=float)
+            lon[tgt] = m[hit].map(_CC_LON).to_numpy(dtype=float)
+            src[tgt] = "cctld"
 
     return pd.DataFrame({"lat": lat, "lon": lon, "geocode_src": src})
 

@@ -49,10 +49,14 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n_nodes = nodes.count()  # scalar; the only full-graph count
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # loop-invariant frames persisted ONCE (r6: they were unpersisted
+    # lineage, recomputed by every iteration's joins — ADVICE r5)
+    nodes = nodes.persist()
+    n_nodes = nodes.count()  # scalar; the only full-graph count (also
+    # materializes the nodes cache)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
     # weight each edge once: contribution factor 1/out_deg
-    ew = e.join(deg, "src")
+    ew = e.join(deg, "src").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     ckpt = _ckpt_fn(ranks, use_reliable_checkpoint, checkpoint_dir)
     base = (1.0 - damping) / n_nodes
@@ -95,4 +99,9 @@ def pagerank(
     ranks.count()  # materialize the final frame off the cached parent
     if prev is not None:
         prev.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    ew.unpersist()
+    # the returned `ranks` frame stays persisted — the caller owns
+    # unpersisting it once consumed (documented contract; ADVICE r5)
     return ranks

@@ -125,6 +125,7 @@ def group_quota(
     id_col: str = "doc_id",
     method: str = "xxhash64",
     seed: int = 42,
+    prefilter_buckets: int | None = 64,
 ) -> DataFrame:
     """Cap rows per group at `quota`, keeping a DETERMINISTIC
     pseudo-random subset (the per-domain / per-source quota pass a
@@ -133,17 +134,37 @@ def group_quota(
     Selection order inside a group is (hash_bucket(id, 2^20), id) — a
     deterministic shuffle independent of input layout, so re-runs and
     repartitionings keep the same rows; plain `id` order would bias
-    toward early ids.  One shuffle (window partitionBy group); at
-    100 TB a mega-domain concentrates its rows in one partition only
-    for the duration of the top-`quota` selection — for extreme skew
-    pre-aggregate with a bucketed two-level top-k (same pattern as
-    relational.heavy_hitters).
+    toward early ids.
+
+    Scale shape (r6): the final top-`quota` window partitions by the
+    group key alone, which at 100 TB would concentrate a 10^8-row
+    mega-domain in ONE task.  So a bucketed LOCAL top-quota runs first:
+    a window over ``(group, order_hash % prefilter_buckets)`` keeps at
+    most `quota` rows per bucket, bounding any stage-1 partition at
+    ~group_rows/prefilter_buckets and the final window's input at
+    ``prefilter_buckets × quota`` rows per group.  Output is BIT-
+    IDENTICAL to the single-window plan (pinned by pytest): a row
+    dropped by its bucket already has ≥ quota rows of the same group
+    ahead of it in the global (hash, id) order, so its group rank
+    could never be ≤ quota.  ``prefilter_buckets=None`` restores the
+    single-window plan (used by the equality pin).
 
     Returns the surviving rows plus their ``qrank`` (1-based)."""
-    w = W.partitionBy(group_col).orderBy(
-        hash_bucket(id_col, 1 << 20, method=method, seed=seed).asc(),
-        F.col(id_col).asc(),
-    )
+    order_hash = hash_bucket(id_col, 1 << 20, method=method, seed=seed)
+    if prefilter_buckets is not None and prefilter_buckets > 1:
+        # bucket from the SAME deterministic order hash (no extra seed
+        # slot needed — the portable method has none), uniform w.r.t.
+        # the order because pmod(h, B) is independent of h's rank order
+        bkt = F.pmod(order_hash, F.lit(prefilter_buckets))
+        w1 = W.partitionBy(F.col(group_col), bkt).orderBy(
+            order_hash.asc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("__gq_r1", F.row_number().over(w1))
+            .where(F.col("__gq_r1") <= quota)
+            .drop("__gq_r1")
+        )
+    w = W.partitionBy(group_col).orderBy(order_hash.asc(), F.col(id_col).asc())
     return (
         df.withColumn("qrank", F.row_number().over(w))
         .where(F.col("qrank") <= quota)

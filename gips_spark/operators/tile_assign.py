@@ -52,33 +52,42 @@ def enrich_pages(
       ``range_partition=True`` restores repartitionByRange for sinks
       that want global cell order (costs a sampling pass).
     """
-    glat, glon, gsrc = udfs.geocode_exprs(F.col("url"), F.col("text"))
-
-    def chain(df: DataFrame) -> DataFrame:
-        if with_text:
+    def chain(df: DataFrame, text: bool = with_text) -> DataFrame:
+        # r6 (guide §1/§4, measured in bench_extra + OPTIMIZATION_r06.md):
+        # the geocoder moved from JVM Column expressions INTO the fused
+        # Arrow kernel.  The JVM cascade evaluated every regex once per
+        # output column (lat/lon/src are three CaseWhen trees, no
+        # cross-column subexpression elimination → ~117 µs/row); the
+        # vectorized pandas geocoder runs the rule table once (~25
+        # µs/row single-core), cutting the measured assign chain from
+        # 5.4s to 3.0s at 1M rows × 32 cores.  Outputs are identical —
+        # the two geocoders are the same rule table, pinned equal by
+        # the frozen `geocoded` golden hash.  Markup STRIP stays
+        # JVM-side: it shrinks the bytes crossing the Arrow channel
+        # ~2× and Java regex is competitive on the short html.
+        if text:
             out = (
                 df.withColumn("stripped", udfs.strip_html_expr(F.col("html")))
-                .withColumn("lat", glat)
-                .withColumn("lon", glon)
-                .withColumn("geocode_src", gsrc)
                 .withColumn(
                     "e",
-                    udfs.extract_and_cells(
-                        F.col("stripped"), F.col("lat"), F.col("lon")
+                    udfs.enrich_from_stripped(
+                        F.col("stripped"), F.col("url"), F.col("text")
                     ),
                 )
-                .select("url", "warc_ts", "lang", "lat", "lon", "geocode_src", "e.*")
+                .select(
+                    "url", "warc_ts", "lang",
+                    "e.lat", "e.lon", "e.geocode_src",
+                    "e.extracted_text", "e.h3_7", "e.s2_13",
+                )
             )
         else:
-            # assignment-only: the geocoder is JVM expressions over
-            # url/text; only 16 B/row (lat, lon) enter Python and 16
-            # B/row (h3, s2) return — no html strip, no text transfer.
+            # assignment-only: no html strip, no extracted_text — only
+            # url+text enter Python, (lat, lon, src, h3, s2) return.
             out = (
-                df.withColumn("lat", glat)
-                .withColumn("lon", glon)
-                .withColumn("geocode_src", gsrc)
-                .withColumn("e", udfs.cells_only(F.col("lat"), F.col("lon")))
-                .select("url", "warc_ts", "lang", "lat", "lon", "geocode_src", "e.*")
+                df.withColumn(
+                    "e", udfs.geocode_and_cells(F.col("url"), F.col("text"))
+                )
+                .select("url", "warc_ts", "lang", "e.*")
             )
         return out.withColumn(
             "cell_prefix",
@@ -98,9 +107,12 @@ def enrich_pages(
         # sample the RAW pages, then enrich the 2% subset: Catalyst does
         # not push `sample` below ArrowEvalPython, so sampling e itself
         # would cost a FULL second UDF pass (measured: exactly halves
-        # single-pass throughput at local[8]).
+        # single-pass throughput at local[8]).  r6: the sample pass uses
+        # the assignment-only chain — the salt histogram needs h3_7
+        # only, so the 2% subset skips html strip + text extraction
+        # (identical h3_7 values, hence an identical salt plan).
         plan = saltplan.salt_plan_presampled(
-            chain(pages.sample(fraction=salt_sample, seed=42)),
+            chain(pages.sample(fraction=salt_sample, seed=42), text=False),
             "h3_7",
             target_rows=salt_target_rows,
             fraction=salt_sample,

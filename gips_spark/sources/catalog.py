@@ -54,7 +54,21 @@ def write_table(
             parts.append(F.bucket(bucket_by[0], bucket_by[1]))
         if parts:
             w = w.partitionedBy(*parts)
-        (w.createOrReplace() if mode == "overwrite" else w.append())
+        if mode == "overwrite" and parts:
+            # dynamic partition overwrite: replace ONLY the partitions
+            # present in `df` — createOrReplace() is a WHOLE-TABLE
+            # replace, which broke the ingest job's per-(batch,bucket)
+            # idempotent-resume contract on the Iceberg path (ADVICE
+            # r5 medium).  First-ever write: the table may not exist
+            # yet, so fall back to createOrReplace then.
+            try:
+                w.overwritePartitions()
+            except Exception:
+                if spark.catalog.tableExists(name_or_path):
+                    raise
+                w.createOrReplace()
+        else:
+            (w.createOrReplace() if mode == "overwrite" else w.append())
         return "iceberg"
     out_cols = list(partition_cols)
     if bucket_by:

@@ -162,7 +162,16 @@ def fetch_assets(
                                 sha256=got,
                                 error=f"expected {want}",
                             )
-                            break
+                            # a mismatch counts as a FAILED ATTEMPT, not
+                            # a terminal verdict: transient truncation is
+                            # the common cause, so keep retrying until
+                            # max_attempts (ADVICE r5 — the bounded-
+                            # retries contract)
+                            if attempt + 1 < max_attempts:
+                                time.sleep(
+                                    _backoff_s(url, attempt, backoff_base_s)
+                                )
+                            continue
                         row.update(status="fetched", bytes=n, sha256=got, error=None)
                         break
                     except Exception as e:  # noqa: BLE001 — every failure → row

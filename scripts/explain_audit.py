@@ -66,7 +66,14 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
     sections["assign (enrich → salt → repartitionByRange)"] = p
     # the fused kernel is ONE Arrow UDF; cached-plan reprints duplicate the
     # node textually, so assert the udf name + absence of row-wise Python
-    checks.append(("assign: fused Arrow kernel only", "extract_and_cells" in p and "BatchEvalPython" not in p))
+    # r6: the fused kernel is enrich_from_stripped (geocode moved INTO
+    # the Arrow kernel — the JVM cascade re-evaluated each regex per
+    # output column; see OPTIMIZATION_r06.md)
+    checks.append(("assign: fused Arrow kernel only", "enrich_from_stripped" in p and "BatchEvalPython" not in p))
+    checks.append(
+        ("assign: geocode inside the fused kernel (no JVM regex cascade)",
+         "regexp_extract" not in p)
+    )
     checks.append(("assign: salt plan broadcast", "BroadcastExchange" in p))
     checks.append(
         (
@@ -299,8 +306,16 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
     )
     checks.append(("pack: pure JVM", "EvalPython" not in pkp))
     gqp = formatted(sq_ops.group_quota(tdocs, "text", 3, id_col="doc_id"))
-    sections["group_quota (per-group deterministic top-quota)"] = gqp
+    sections["group_quota (bucketed two-level deterministic top-quota)"] = gqp
     checks.append(("quota: pure JVM window", "EvalPython" not in gqp))
+    # r6 scale fix: stage 1 is a LOCAL top-quota windowed on
+    # (group, pmod(order_hash, B)) — two Window nodes, and the first
+    # exchange hashes on the bucketed composite key so a mega-domain
+    # never lands in one task before the (≤ B×quota)-row final window
+    checks.append(
+        ("quota: bucketed stage-1 window (mega-domain safe)",
+         gqp.count("Window") >= 2 and "pmod" in gqp)
+    )
 
     directory.unpersist()
     enr.unpersist()

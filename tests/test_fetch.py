@@ -58,6 +58,9 @@ def test_fetch_archive_idempotent_and_errors(spark, tmp_path):
     assert "Error" in st["A9"]["error"] or "error" in st["A9"]["error"].lower()
     assert st["A8"]["status"] == "checksum_mismatch"
     assert not os.path.exists(st["A8"]["dest_path"])  # bad payload never archived
+    # r6: a mismatch is a failed ATTEMPT — all max_attempts are used
+    # before the checksum_mismatch verdict is emitted (ADVICE r5)
+    assert st["A8"]["attempts"] == 2
 
     # re-run: everything already archived+verified → skipped, bytes intact
     st2 = {

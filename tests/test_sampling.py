@@ -118,3 +118,44 @@ def test_group_quota_determinism_and_cap(spark):
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     # quota larger than group: everything survives
     assert sampling.group_quota(df, "source", 1000).count() == 500
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "portable"])
+def test_group_quota_two_level_bit_identical(spark, method):
+    """r6 scale fix: the bucketed two-level plan (prefilter_buckets) must
+    be BIT-IDENTICAL to the single-window plan — rows AND qranks — on a
+    planted mega-domain (60% of rows in one group)."""
+    from gips_spark.operators import sampling
+
+    rows = [(i, "mega" if i % 5 < 3 else f"s{i % 11}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    one = sampling.group_quota(
+        df, "source", 17, method=method, prefilter_buckets=None
+    ).collect()
+    two = sampling.group_quota(
+        df.repartition(13, "doc_id"), "source", 17, method=method,
+        prefilter_buckets=8,
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+    # default path is the two-level plan and matches too
+    dflt = sampling.group_quota(df, "source", 17, method=method).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, dflt))
+
+
+def test_group_quota_two_level_bounds_stage1(spark):
+    """The stage-1 window key (group, pmod(order_hash, B)) actually
+    spreads a mega-group: no (group, bucket) cell holds more than
+    ~rows/B·(1+slack) of the mega-group's rows."""
+    from gips_spark.operators import sampling
+
+    n, B = 20_000, 16
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("mega").alias("source")
+    )
+    bkt = F.pmod(
+        sampling.hash_bucket("doc_id", 1 << 20, method="xxhash64", seed=42),
+        F.lit(B),
+    )
+    per = df.groupBy(bkt.alias("b")).count().collect()
+    assert len(per) == B
+    assert max(r["count"] for r in per) < (n / B) * 1.25
