@@ -130,21 +130,29 @@ def ws_tokens(text_col):
 
 def word_ngrams(text_col, n: int):
     """array<string> of word `n`-grams of a text Column (ws_tokens,
-    single-space joined).  Pure JVM (split / filter / sequence /
-    transform / slice / concat_ws) — no Python, codegen-friendly;
-    mirrored verbatim by the DuckDB oracles via list_transform +
-    list_slice.  Empty/short/NULL texts yield an empty array."""
+    single-space joined).  Pure JVM, no Python; mirrored verbatim by
+    the DuckDB oracles via list_transform + list_slice.  Empty/short/
+    NULL texts yield an empty array.
+
+    r6 construction (guide §1.2 "per-task work", measured ~1.9× on the
+    1M-doc bench, output pinned bit-identical): n-grams are built by
+    zipping n SHIFTED slices of the token array — n `slice` calls per
+    document — instead of `transform(sequence(...), i -> concat_ws(' ',
+    slice(toks, i, n)))`, which allocated a fresh sub-array per GRAM
+    inside an interpreted higher-order function (HOFs never enter
+    whole-stage codegen, so per-element work is the multiplier that
+    matters)."""
     toks = ws_tokens(text_col)
-    # guard < n tokens: sequence(1, 0) would DESCEND ([1, 0]) and
-    # slice(_, 0, _) errors under ANSI mode
-    return F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    sz = F.size(toks)
+    m = sz - F.lit(n - 1)  # gram count when sz >= n
+    out = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(toks, k, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    )
+    # guard < n tokens: m <= 0 would make slice error under ANSI mode —
+    # the CaseWhen keeps the otherwise branch unevaluated for short docs
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(out)
 
 
 def repetition_stats(

@@ -54,24 +54,23 @@ def enrich_pages(
     """
     def chain(df: DataFrame, text: bool = with_text) -> DataFrame:
         # r6 (guide §1/§4, measured in bench_extra + OPTIMIZATION_r06.md):
-        # the geocoder moved from JVM Column expressions INTO the fused
-        # Arrow kernel.  The JVM cascade evaluated every regex once per
-        # output column (lat/lon/src are three CaseWhen trees, no
-        # cross-column subexpression elimination → ~117 µs/row); the
-        # vectorized pandas geocoder runs the rule table once (~25
-        # µs/row single-core), cutting the measured assign chain from
-        # 5.4s to 3.0s at 1M rows × 32 cores.  Outputs are identical —
-        # the two geocoders are the same rule table, pinned equal by
-        # the frozen `geocoded` golden hash.  Markup STRIP stays
-        # JVM-side: it shrinks the bytes crossing the Arrow channel
-        # ~2× and Java regex is competitive on the short html.
+        # geocode AND markup strip moved from JVM expressions INTO the
+        # fused Arrow kernel.  The JVM geocode cascade evaluated every
+        # regex once per output column (lat/lon/src are three CaseWhen
+        # trees, no cross-column subexpression elimination → ~117
+        # µs/row vs ~6 µs/row for the vectorized pandas rule table),
+        # and the JVM strip chain cost 29 core-s/1M rows vs ~5 for the
+        # Python re equivalent — java.util.regex loses to CPython's sre
+        # on every pattern here.  Shipping raw html (+185 B/row on the
+        # Arrow channel) costs less than either.  Outputs identical —
+        # enrich_struct is the reference kernel the JVM split was
+        # originally pinned byte-equal against (goldens + oracle gate).
         if text:
             out = (
-                df.withColumn("stripped", udfs.strip_html_expr(F.col("html")))
-                .withColumn(
+                df.withColumn(
                     "e",
-                    udfs.enrich_from_stripped(
-                        F.col("stripped"), F.col("url"), F.col("text")
+                    udfs.enrich_struct(
+                        F.col("html"), F.col("url"), F.col("text")
                     ),
                 )
                 .select(

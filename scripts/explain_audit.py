@@ -66,10 +66,10 @@ def run_audit(spark, pages, salt_target_rows: int = 5000):
     sections["assign (enrich → salt → repartitionByRange)"] = p
     # the fused kernel is ONE Arrow UDF; cached-plan reprints duplicate the
     # node textually, so assert the udf name + absence of row-wise Python
-    # r6: the fused kernel is enrich_from_stripped (geocode moved INTO
-    # the Arrow kernel — the JVM cascade re-evaluated each regex per
-    # output column; see OPTIMIZATION_r06.md)
-    checks.append(("assign: fused Arrow kernel only", "enrich_from_stripped" in p and "BatchEvalPython" not in p))
+    # r6: the fused kernel is enrich_struct (strip + geocode + extract
+    # + cells all inside the Arrow kernel — the JVM regex paths lose to
+    # CPython sre on every pattern here; see OPTIMIZATION_r06.md)
+    checks.append(("assign: fused Arrow kernel only", "enrich_struct" in p and "BatchEvalPython" not in p))
     checks.append(
         ("assign: geocode inside the fused kernel (no JVM regex cascade)",
          "regexp_extract" not in p)
