@@ -99,8 +99,12 @@ def main():
             ).drop("extracted_text")
         )
 
-    def udf_only():
-        # fused UDF pass alone (strip + geocode + extract + cells), no salt
+    def exact_mode_unpersisted():
+        # EXACT salt mode with persist disabled: the full-histogram salt
+        # plan + the main pass each run the UDF chain, so this measures
+        # ~2× the single-pass chain — kept as the documented cost of
+        # exact mode without its block-manager persist, NOT a UDF-only
+        # isolation (use cells_chain / full_chain_norepart for that)
         _noop(
             tile_assign.enrich_pages(
                 pages, persist=False, do_repartition=False, salt_sample=None,
@@ -123,7 +127,7 @@ def main():
         "strip_jvm": strip_jvm,
         "geocode_jvm": geocode_jvm,
         "cells_chain": cells_chain,
-        "udf_only": udf_only,
+        "exact_mode_unpersisted": exact_mode_unpersisted,
         "full_chain_norepart": full_chain_norepart,
         "full_chain_noop": full_chain_noop,
         "assign_parquet": assign_parquet,

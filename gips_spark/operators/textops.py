@@ -437,25 +437,49 @@ def decontaminate(
     """
     if join_on not in ("hash", "gram"):
         raise ValueError("join_on must be 'hash' or 'gram'")
-    key = (lambda c: F.xxhash64(c)) if join_on == "hash" else (lambda c: c)
     dg = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
     )
-    doc_side = dg.select(
-        "doc_id",
-        F.size("grams").alias("n_grams"),
-        F.explode("grams").alias("gram"),
-    ).select("doc_id", "n_grams", key(F.col("gram")).alias("k"))
-    bench_side = (
-        benchmark.select(
+    if join_on == "hash":
+        # r6 (guide §2.3 "shuffle keys, not payloads", applied to the
+        # Generate): hash INSIDE the array and explode int64s — the
+        # explode then materializes (long, int, long) rows instead of
+        # ~60-char gram strings that were hashed-and-dropped one
+        # operator later.  Measured 15.0s → 8.1s on the 1M-doc side,
+        # identical (doc_id, n_grams, k) multiset.
+        doc_side = dg.select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
             F.explode(
-                F.array_distinct(word_ngrams(F.col(bench_text_col), n))
-            ).alias("gram")
+                F.transform(F.col("grams"), lambda g: F.xxhash64(g))
+            ).alias("k"),
         )
-        .select(key(F.col("gram")).alias("k"))
-        .distinct()
-    )
+        bench_side = (
+            benchmark.select(
+                F.explode(
+                    F.transform(
+                        F.array_distinct(word_ngrams(F.col(bench_text_col), n)),
+                        lambda g: F.xxhash64(g),
+                    )
+                ).alias("k")
+            )
+            .distinct()
+        )
+    else:
+        doc_side = dg.select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("k"),
+        )
+        bench_side = (
+            benchmark.select(
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col(bench_text_col), n))
+                ).alias("k")
+            )
+            .distinct()
+        )
     hits = doc_side.join(F.broadcast(bench_side), "k").groupBy(
         "doc_id", "n_grams"
     ).agg(F.count(F.lit(1)).alias("n_hit_grams"))
