@@ -25,6 +25,36 @@ def rep(spark):
     return {r["doc_id"]: r for r in out}
 
 
+def test_word_ngrams_zip_construction_reference(spark):
+    """r6 (zipped-shifted-slices rewrite): word_ngrams must equal a
+    plain-Python reference on every edge shape — short docs, exactly-n
+    docs, tab/newline whitespace (ws_tokens, no phantom empties), NULL,
+    and n=1."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b"),            # exactly n for n=2
+        (3, "a"),              # shorter than any n>1
+        (4, ""),               # empty
+        (5, None),             # NULL ≡ empty
+        (6, "\t a\nb  c \t"),  # mixed whitespace, leading tab
+        (7, "x " * 50 + "y"),  # longer doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3, 5):
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", textops.word_ngrams(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        for doc_id, text in rows:
+            toks = (text or "").split()
+            want = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ] if len(toks) >= n else []
+            assert got[doc_id] == want, (doc_id, n, got[doc_id], want)
+
+
 def test_repetition_hand_computed(rep):
     r1 = rep[1]  # "a b c a b c a b", 15 chars
     assert r1["n_lines"] == 1 and r1["dup_line_frac"] == 0.0

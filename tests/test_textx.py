@@ -71,6 +71,42 @@ def test_geocode_rejects_out_of_range():
     assert got["geocode_src"].iloc[0] == "none"
 
 
+def test_geocode_masked_evaluation_fall_through():
+    """r6 (masked highest-priority-first rewrite): an out-of-range match
+    in a HIGHER tier must leave the row unresolved for LOWER tiers —
+    the exact overwrite semantics of the r5 lowest-first implementation
+    — and the literal prefilters ("lat=", ", ") must never drop a row
+    the regex would match."""
+    url = pd.Series(
+        [
+            # invalid qs coords + city in path → falls through to city_url
+            "https://a.example.com/berlin/p?lat=95.5000&lon=10.0000",
+            # "lat=" present only inside another param name: prefilter
+            # passes, regex correctly rejects, cctld resolves
+            "https://x.example.de/p?plat=1.5",
+            # valid qs must still win over everything
+            "https://x.example.de/tokyo/p?lat=1.5000&lon=2.5000",
+            # out-of-range text coord (has ", ") → falls through to city_text
+            "https://a.example.com/x/p",
+        ]
+    )
+    text = pd.Series(
+        [
+            "nothing",
+            "nothing",
+            "report from berlin",
+            "located at 91.0000, 10.0000 report from sao paulo",
+        ]
+    )
+    got = textx.geocode(url, text)
+    assert got["geocode_src"].tolist() == [
+        "city_url", "cctld", "latlon_qs", "city_text",
+    ]
+    # non-RangeIndex input (sliced batch) must not misalign rows
+    got2 = textx.geocode(url.iloc[[2, 3]], text.iloc[[2, 3]])
+    assert got2["geocode_src"].tolist() == ["latlon_qs", "city_text"]
+
+
 def test_lang_id():
     t = pd.Series(
         [
